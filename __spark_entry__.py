@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data op from the task brief) run over the deterministic
+synthetic `pages` table derived from the driver's `documents` parquet
+(rotel_spark.fixtures — dialect-portable derivation, see module doc).
+``oracle_sql()`` gives the DuckDB twin; where the pipeline *parses*
+values out of generated log lines, the oracle derives them by
+independent arithmetic, so a match is a real parity check.
 """
 
 from __future__ import annotations
@@ -12,27 +14,619 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rotel_spark import fixtures
+from rotel_spark.fixtures import (
+    lang_locale_sql,
+    load_pages,
+    pages_with_clause,
+    tld_registry_sql,
+)
+from rotel_spark.functions import text as textfn
+from rotel_spark.functions.severity import (
+    kmsg_severity_number_sql,
+    status_severity_number_sql,
+    status_severity_text_sql,
+)
+from rotel_spark.operators.attributes import apply_actions
+from rotel_spark.operators.filters import drop_unparsed, mod_sample
+from rotel_spark.operators.redaction import redact
+from rotel_spark.operators.resource import upsert_resource_attributes
+from rotel_spark.parsers.auto import parse_auto
+from rotel_spark.parsers.kmsg import parse_kmsg
+from rotel_spark.parsers.nginx import parse_combined
+from rotel_spark.plans.routing import ROUTE_SQL, domain_partition_sql, with_route
+
+REPS = fixtures.DEFAULT_REPS  # 20 → sf0.01 gives 10k pages rows
+
+PAGES = pages_with_clause(REPS)
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_pages(spark, sf_dir, REPS)
+    # raw_line is what a receiver would hand the parser
+    return df.withColumn("raw_line", F.col("log_line"))
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_auto(_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_grok_nginx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex grok of nginx combined lines → typed fields + parsed
+    timestamp (reference nginx.rs:53 pattern, :40 time format)."""
+    df = _pages(spark, sf_dir).filter(F.col("fmt") == 0)
+    out = parse_combined(df)
+    return out.select(
+        "page_id",
+        "remote_addr",
+        "remote_user",
+        F.col("status").cast("int").alias("status"),
+        F.col("body_bytes_sent").cast("long").alias("body_bytes_sent"),
+        "method",
+        "http_path",
+        F.col("time_unix_nano").alias("time_unix_nano"),
+        "severity_number",
+        "severity_text",
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: parse → drop unparsed → route → per-sink aggregate
+    counts (severity-band sink × domain partition)."""
+    df = drop_unparsed(_parsed(spark, sf_dir))
+    routed = with_route(df)
+    return (
+        routed.groupBy("route", "domain_partition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = drop_unparsed(_parsed(spark, sf_dir))
+    return df.groupBy("severity_number", "severity_text").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_parse_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-line accounting — parse errors are counted, not fatal
+    (receiver.rs:832-836)."""
+    df = _parsed(spark, sf_dir)
+    return df.groupBy("log_source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
+    )
+
+
+def q_enrich_lang_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment lang→locale (Datadog-mapping-table analog)."""
+    pages = _pages(spark, sf_dir)
+    lookup = F.broadcast(spark.sql(lang_locale_sql()))
+    return (
+        pages.join(lookup, "lang", "left")
+        .groupBy(
+            F.coalesce(F.col("locale"), F.lit("und")).alias("locale")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_enrich_domain_tld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → host/tld decomposition + broadcast tld-registry join."""
+    from rotel_spark.functions.urls import host_of, tld_of
+
+    pages = _pages(spark, sf_dir).drop("tld")
+    lookup = F.broadcast(
+        spark.sql(tld_registry_sql()).withColumnRenamed("tld", "reg_tld")
+    )
+    return (
+        pages.withColumn("xhost", host_of(F.col("url")))
+        .withColumn("xtld", tld_of(F.col("url")))
+        .join(lookup, F.col("xtld") == F.col("reg_tld"), "left")
+        .groupBy("tld_type", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("xhost")).alias("n_hosts"),
+        )
+    )
+
+
+def q_attributes_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel attribute actions (SDK attributes_processor.py:55-63):
+    upsert, insert-if-absent, hash, extract, convert, delete."""
+    df = parse_combined(_pages(spark, sf_dir).filter(F.col("fmt") == 0))
+    df = df.withColumn(
+        "log_attributes",
+        F.create_map(
+            F.lit("remote_addr"), F.col("remote_addr"),
+            F.lit("request"), F.col("request"),
+            F.lit("status"), F.col("status").cast("string"),
+            F.lit("tmp_debug"), F.lit("1"),
+        ),
+    )
+    df = apply_actions(
+        df,
+        [
+            {"action": "upsert", "key": "env", "value": "prod"},
+            {"action": "insert", "key": "status", "value": "SHOULD_NOT_WIN"},
+            {"action": "hash", "key": "remote_addr"},
+            {
+                "action": "extract",
+                "key": "request",
+                "pattern": r"^(?P<http_method>\S+) (?P<http_target>\S+)",
+            },
+            {"action": "convert", "key": "status", "to_type": "int"},
+            {"action": "delete", "pattern": "^tmp_"},
+        ],
+    )
+    a = F.col("log_attributes")
+    return df.select(
+        "page_id",
+        F.element_at(a, "env").alias("env"),
+        F.element_at(a, "status").alias("status_attr"),
+        F.element_at(a, "remote_addr").alias("addr_hash"),
+        F.element_at(a, "http_method").alias("http_method"),
+        F.element_at(a, "http_target").alias("http_target"),
+        F.element_at(a, "tmp_debug").alias("tmp_debug"),
+        F.size(a).alias("n_attrs"),
+    )
+
+
+def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction processor: mask values matching an IP pattern."""
+    df = parse_combined(_pages(spark, sf_dir).filter(F.col("fmt") == 0))
+    df = df.withColumn(
+        "log_attributes",
+        F.create_map(
+            F.lit("client_ip"), F.col("remote_addr"),
+            F.lit("ua"), F.col("http_user_agent"),
+        ),
+    )
+    df = redact(
+        df,
+        blocked_value_patterns=[r"^\d+\.\d+\.\d+\.\d+$"],
+        blocked_key_patterns=[],
+    )
+    a = F.col("log_attributes")
+    return df.select(
+        "page_id",
+        F.element_at(a, "client_ip").alias("client_ip"),
+        F.element_at(a, "ua").alias("ua"),
+        F.col("redacted_count").cast("int").alias("redacted_count"),
+    )
+
+
+def q_resource_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--otel-resource-attributes upsert (generic_pipeline.rs:70-108):
+    overwrite-on-match, append-on-new."""
+    df = _pages(spark, sf_dir).withColumn(
+        "resource_attributes",
+        F.create_map(
+            F.lit("service.name"), F.lit("old"),
+            F.lit("host.name"), F.col("host"),
+        ),
+    )
+    df = upsert_resource_attributes(
+        df, {"service.name": "web-crawl", "deployment.environment": "prod"}
+    )
+    a = F.col("resource_attributes")
+    return df.select(
+        "page_id",
+        F.element_at(a, "service.name").alias("service_name"),
+        F.element_at(a, "host.name").alias("host_name"),
+        F.element_at(a, "deployment.environment").alias("env"),
+        F.size(a).alias("n_attrs"),
+    )
+
+
+def q_sample_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/10 sample (first-class drop/sample stage)."""
+    df = mod_sample(_pages(spark, sf_dir), "page_id", 1, 10)
+    return df.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("page_id").alias("sum_page_id"),
+    )
+
+
+def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmsg priority/facility split + severity map (parser.rs:155-166)."""
+    df = _pages(spark, sf_dir).filter(F.col("fmt") == 3)
+    out = parse_kmsg(df)
+    return out.groupBy(
+        "priority", "facility", "severity_number", "severity_text"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("ts_usec") / F.lit(1_000_000)).cast("long")).alias(
+            "sum_ts_sec"
+        ),
+    )
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON log parse (json.rs:44-110 analog)."""
+    from rotel_spark.parsers.json_log import parse_access_json
+
+    df = parse_access_json(_pages(spark, sf_dir).filter(F.col("fmt") == 2))
+    return df.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("body_bytes_sent").alias("sum_bytes"),
+        F.sum((F.col("time_unix_nano") / F.lit(1_000_000_000)).cast("long")).alias(
+            "sum_ts_sec"
+        ),
+    )
+
+
+def q_timestamp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard part #4 (SURVEY.md §7): parsed nginx time must equal the
+    arithmetic ground truth for every row. Output: per-day counts and
+    the count of mismatches the oracle expects to be zero."""
+    df = parse_combined(_pages(spark, sf_dir).filter(F.col("fmt") == 0))
+    return df.select(
+        "page_id",
+        "time_unix_nano",
+        (F.col("time_unix_nano") == F.col("ts_sec") * 1_000_000_000)
+        .cast("int")
+        .alias("ts_match"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textfn.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs stored lang — confusion counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = textfn.lang_id_heuristic(F.col("text"))
+    return (
+        docs.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents.text (hash-groupBy, keep min id)."""
+    from rotel_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = exact_dedup(docs, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint collision groups (rolling-hash analog —
+    md5 here so the oracle can replicate engine-independently)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("fp", F.md5(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .filter(F.col("n") >= 1)
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("min_id").alias("sum_min_ids"))
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation heuristic, bucketed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textfn.quality_score(F.col("text"))
+    return (
+        docs.withColumn("qbucket", F.floor(q * 10).cast("int"))
+        .groupBy("qbucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 5 vectors."""
+    from rotel_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = brute_force_topk(corpus, queries, k=3)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round(F.col("score"), 6).alias("score_r"),
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup survivor count (no SQL oracle — engine-
+    specific hash; driver records rows-only check)."""
+    from rotel_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = minhash_dedup(docs, "doc_id", "text", jaccard_threshold=0.8)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (pandas-UDF path; rows-only check)."""
+    from rotel_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs).select("doc_id", "simhash")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "grok_nginx_parse": q_grok_nginx_parse,
+        "route_counts": q_route_counts,
+        "severity_counts": q_severity_counts,
+        "parse_drop_stats": q_parse_drop_stats,
+        "enrich_lang_locale": q_enrich_lang_locale,
+        "enrich_domain_tld": q_enrich_domain_tld,
+        "attributes_processor": q_attributes_processor,
+        "redaction": q_redaction,
+        "resource_upsert": q_resource_upsert,
+        "sample_filter": q_sample_filter,
+        "kmsg_parse": q_kmsg_parse,
+        "json_parse": q_json_parse,
+        "timestamp_parity": q_timestamp_parity,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dups": q_fingerprint_dups,
+        "quality_score": q_quality_score,
+        "ann_topk": q_ann_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL) — pages CTE shared verbatim; parsed values derived
+# independently (arithmetic / DuckDB-native regex+json) where possible
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sev_n = status_severity_number_sql("status")
+    sev_t = status_severity_text_sql("status")
+    dompart = domain_partition_sql("domain")
+    scores = textfn.lang_scores_sql("text")
+    lang_case = textfn.lang_id_case_sql(
+        {k: f"s_{k}" for k in scores}
+    )
+    score_cols = ", ".join(f"{v} AS s_{k}" for k, v in scores.items())
+
+    return {
+        "grok_nginx_parse": f"""
+WITH {PAGES}
+SELECT page_id,
+  regexp_extract(log_line, '^(\\S+) ', 1) AS remote_addr,
+  CASE CAST(page_id % 5 AS INT) WHEN 0 THEN 'alice' WHEN 1 THEN 'bob'
+       ELSE '-' END AS remote_user,
+  CAST(status AS INT) AS status,
+  CAST(page_id % 4096 + 128 AS BIGINT) AS body_bytes_sent,
+  CASE CAST(page_id % 3 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+       ELSE 'PUT' END AS method,
+  '/api/v' || CAST(page_id % 3 AS STRING) || '/items/'
+      || CAST(page_id % 50 AS STRING) AS http_path,
+  ts_sec * 1000000000 AS time_unix_nano,
+  {sev_n} AS severity_number,
+  {sev_t} AS severity_text
+FROM pages WHERE fmt = 0
+""",
+        "route_counts": f"""
+WITH {PAGES},
+parsed AS (
+  SELECT *,
+    CASE WHEN fmt IN (0, 2) THEN {sev_n}
+         WHEN fmt = 1 THEN {kmsg_level_sql()}
+         WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
+         ELSE 0 END AS severity_number
+  FROM pages WHERE fmt <> 9
+)
+SELECT {ROUTE_SQL} AS route, {dompart} AS domain_partition,
+       count(*) AS n
+FROM parsed GROUP BY 1, 2
+""",
+        "severity_counts": f"""
+WITH {PAGES},
+parsed AS (
+  SELECT *,
+    CASE WHEN fmt IN (0, 2) THEN {sev_n}
+         WHEN fmt = 1 THEN {kmsg_level_sql()}
+         WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
+         ELSE 0 END AS severity_number,
+    CASE WHEN fmt IN (0, 2) THEN {sev_t}
+         WHEN fmt = 1 THEN {level_text_sql()}
+         WHEN fmt = 3 THEN {kmsg_text_sql()}
+         ELSE '' END AS severity_text
+  FROM pages WHERE fmt <> 9
+)
+SELECT severity_number, severity_text, count(*) AS n
+FROM parsed GROUP BY 1, 2
+""",
+        "parse_drop_stats": f"""
+WITH {PAGES}
+SELECT CASE fmt WHEN 0 THEN 'nginx' WHEN 1 THEN 'nginx_error'
+                WHEN 2 THEN 'json' WHEN 3 THEN 'kmsg'
+                ELSE 'unknown' END AS log_source,
+       count(*) AS n,
+       CAST(sum(CASE WHEN fmt = 9 THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed
+FROM pages GROUP BY 1
+""",
+        "enrich_lang_locale": f"""
+WITH {PAGES}, ll AS ({lang_locale_sql()})
+SELECT coalesce(ll.locale, 'und') AS locale, count(*) AS n
+FROM pages LEFT JOIN ll ON pages.lang = ll.lang
+GROUP BY 1
+""",
+        "enrich_domain_tld": f"""
+WITH {PAGES}, tr AS ({tld_registry_sql()})
+SELECT tr.tld_type AS tld_type, tr.region AS region, count(*) AS n,
+       count(DISTINCT pages.host || '.' || pages.tld) AS n_hosts
+FROM pages LEFT JOIN tr ON pages.tld = tr.tld
+GROUP BY 1, 2
+""",
+        "attributes_processor": f"""
+WITH {PAGES}
+SELECT page_id,
+  'prod' AS env,
+  CAST(status AS STRING) AS status_attr,
+  sha256('10.' || CAST(page_id % 250 AS STRING) || '.'
+      || CAST(page_id % 241 AS STRING) || '.'
+      || CAST(page_id % 239 + 1 AS STRING)) AS addr_hash,
+  CASE CAST(page_id % 3 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+       ELSE 'PUT' END AS http_method,
+  '/api/v' || CAST(page_id % 3 AS STRING) || '/items/'
+      || CAST(page_id % 50 AS STRING) AS http_target,
+  CAST(NULL AS STRING) AS tmp_debug,
+  6 AS n_attrs
+FROM pages WHERE fmt = 0
+""",
+        "redaction": f"""
+WITH {PAGES}
+SELECT page_id,
+  '[REDACTED]' AS client_ip,
+  CASE CAST(page_id % 4 AS INT) WHEN 0 THEN 'curl/7.68.0'
+       WHEN 1 THEN 'Mozilla/5.0' WHEN 2 THEN 'Googlebot/2.1'
+       ELSE '-' END AS ua,
+  1 AS redacted_count
+FROM pages WHERE fmt = 0
+""",
+        "resource_upsert": f"""
+WITH {PAGES}
+SELECT page_id,
+  'web-crawl' AS service_name,
+  host AS host_name,
+  'prod' AS env,
+  3 AS n_attrs
+FROM pages
+""",
+        "sample_filter": f"""
+WITH {PAGES}
+SELECT fmt, count(*) AS n, CAST(sum(page_id) AS BIGINT) AS sum_page_id
+FROM pages WHERE page_id % 10 < 1
+GROUP BY 1
+""",
+        "kmsg_parse": f"""
+WITH {PAGES}
+SELECT CAST(prio AS INT) AS priority,
+       CAST(floor(prio / 8) AS INT) AS facility,
+       {kmsg_severity_number_sql("prio")} AS severity_number,
+       {kmsg_text_sql()} AS severity_text,
+       count(*) AS n,
+       CAST(sum(ts_sec) AS BIGINT) AS sum_ts_sec
+FROM pages WHERE fmt = 3
+GROUP BY 1, 2, 3, 4
+""",
+        "json_parse": f"""
+WITH {PAGES}
+SELECT CAST(status AS INT) AS status, count(*) AS n,
+       CAST(sum(page_id % 4096 + 128) AS BIGINT) AS sum_bytes,
+       CAST(sum(ts_sec) AS BIGINT) AS sum_ts_sec
+FROM pages WHERE fmt = 2
+GROUP BY 1
+""",
+        "timestamp_parity": f"""
+WITH {PAGES}
+SELECT page_id, ts_sec * 1000000000 AS time_unix_nano, 1 AS ts_match
+FROM pages WHERE fmt = 0
+""",
+        "token_stats": f"""
+SELECT doc_id,
+  {textfn.token_count_sql("text")} AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+""",
+        "lang_id": f"""
+WITH scored AS (SELECT lang, {score_cols} FROM documents)
+SELECT lang, {lang_case} AS predicted, count(*) AS n
+FROM scored GROUP BY 1, 2
+""",
+        "exact_dedup": """
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM kept
+""",
+        "fingerprint_dups": """
+WITH groups AS (
+  SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS min_id
+  FROM documents GROUP BY 1
+)
+SELECT n, count(*) AS n_groups, CAST(sum(min_id) AS BIGINT) AS sum_min_ids
+FROM groups GROUP BY 1
+""",
+        "quality_score": """
+SELECT CAST(floor(
+  (0.5 * least(length(text) / 400.0, 1.0)
+   + 0.5 * (1.0 - least(4.0 * length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+       / greatest(length(text), 1), 1.0))) * 10) AS INT) AS qbucket,
+  count(*) AS n
+FROM documents GROUP BY 1
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS score
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(score, 6) AS score_r
+FROM ranked WHERE rank <= 3
+""",
+        # minhash_dedup / simhash: engine-specific hashes — rows-only check
+    }
+
+
+# --- helper SQL fragments for the nginx-error level severity (fmt=1) ------
+
+def kmsg_level_sql() -> str:
+    """fmt=1 severity_number from the generated level cycle
+    (error, warn, notice, error, crit by page_id % 5)."""
+    return (
+        "CASE CAST(page_id % 5 AS INT) WHEN 0 THEN 17 WHEN 1 THEN 13 "
+        "WHEN 2 THEN 10 WHEN 3 THEN 17 ELSE 21 END"
+    )
+
+
+def level_text_sql() -> str:
+    return (
+        "CASE CAST(page_id % 5 AS INT) WHEN 0 THEN 'ERROR' WHEN 1 THEN 'WARN' "
+        "WHEN 2 THEN 'NOTICE' WHEN 3 THEN 'ERROR' ELSE 'FATAL' END"
+    )
+
+
+def kmsg_text_sql() -> str:
+    from rotel_spark.functions.severity import kmsg_severity_text_sql
+
+    return kmsg_severity_text_sql("prio")

@@ -1,0 +1,132 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "records_per_sec": ..., "mb_per_sec": ...}
+
+The headline number is the E2E pipeline: synthesize pages (html binary
+included) → extract embedded log line → multi-format parse → route →
+fan-out to 3 routed sinks + 1 broadcast sink (parquet). records/sec is
+parsed-and-routed records per wall-clock second; mb_per_sec counts the
+html bytes groked (BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from rotel_spark.session import build_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages rows = documents rows × reps (sf0.1 → 5000 × 200 = 1M)
+BENCH_REPS = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
+
+
+def run_pipeline_bench(spark, sf_dir: str, reps: int, out_dir: str) -> dict:
+    from rotel_spark.fixtures import extract_log_line, load_pages_full
+    from rotel_spark.operators.filters import drop_unparsed
+    from rotel_spark.parsers.auto import parse_auto
+    from rotel_spark.plans.routing import with_route
+    from rotel_spark.sinks.writer import fan_out
+
+    t0 = time.time()
+    pages = load_pages_full(spark, sf_dir, reps)
+    df = extract_log_line(pages)
+    parsed = with_route(drop_unparsed(parse_auto(df)))
+    slim = parsed.select(
+        "page_id", "url", "domain", "body", "log_source", "status",
+        "severity_number", "severity_text", "time_unix_nano", "route",
+        "domain_partition", F.length("html").alias("html_bytes"),
+    )
+    sinks = [
+        {"name": "errors", "predicate": "route = 'errors'",
+         "path": f"{out_dir}/errors"},
+        {"name": "ops", "predicate": "route = 'ops'",
+         "path": f"{out_dir}/ops"},
+        {"name": "archive", "predicate": "route = 'archive'",
+         "path": f"{out_dir}/archive"},
+    ]
+    counts = fan_out(slim, sinks)
+    elapsed = time.time() - t0
+    n_routed = sum(counts.values())
+    total_bytes = (
+        spark.read.parquet(f"{out_dir}/*")
+        .agg(F.sum("html_bytes"))
+        .collect()[0][0]
+        or 0
+    )
+    return {
+        "sec": elapsed,
+        "records": n_routed,
+        "records_per_sec": n_routed / elapsed,
+        "mb": total_bytes / 1e6,
+        "mb_per_sec": total_bytes / 1e6 / elapsed,
+        "sink_counts": counts,
+    }
+
+
+def main() -> None:
+    spark = build_spark(
+        app_name="rotel_spark_bench", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    out_dir = tempfile.mkdtemp(prefix="rotel_bench_")
+    timings: dict[str, float] = {}
+    try:
+        pipe = run_pipeline_bench(spark, SF_DIR, BENCH_REPS, out_dir)
+        timings["pipeline_e2e"] = round(pipe["sec"], 3)
+
+        import __spark_entry__ as entrymod
+
+        headline = [
+            "route_counts",
+            "grok_nginx_parse",
+            "severity_counts",
+            "enrich_domain_tld",
+            "token_stats",
+            "exact_dedup",
+            "minhash_dedup",
+            "ann_topk",
+        ]
+        qs = entrymod.queries()
+        for name in headline:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "parsed-and-routed records/sec (E2E pipeline"
+                    " + headline operator suite)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF_DIR,
+                    "cpus": CPUS,
+                    "pipeline_records": pipe["records"],
+                    "records_per_sec": round(pipe["records_per_sec"], 1),
+                    "mb_per_sec": round(pipe["mb_per_sec"], 2),
+                    "sink_counts": pipe["sink_counts"],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,1 @@
+from . import hashing, severity, text, timestamps, urls  # noqa: F401

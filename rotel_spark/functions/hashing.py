@@ -1,0 +1,42 @@
+"""Deterministic hashing — routing keys and attribute-map hashes.
+
+The reference's Kafka exporter partitions by an order-insensitive hash
+of the resource attributes: it SORTS the key/value pairs before
+hashing (/root/reference/src/exporters/kafka/exporter.rs:128-162).
+Our routing hash replicates that semantic: map → sorted "k=v" join →
+hash. SURVEY.md §7 hard part #2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sorted_map_repr(attrs: Column) -> Column:
+    """MAP<STRING,STRING> → canonical 'k1=v1\\nk2=v2' sorted by key.
+
+    Order-insensitive: two maps with equal contents but different
+    insertion order produce identical strings (exporter.rs:128-162).
+    """
+    pairs = F.transform(
+        F.map_entries(attrs),
+        lambda e: F.concat_ws("=", e["key"], e["value"]),
+    )
+    return F.array_join(F.array_sort(pairs), "\n")
+
+
+def attrs_hash(attrs: Column) -> Column:
+    """Order-insensitive 64-bit hash of an attribute map."""
+    return F.xxhash64(sorted_map_repr(attrs))
+
+
+def routing_partition(attrs: Column, num_partitions: int) -> Column:
+    """Deterministic partition id from resource attrs (Kafka-key analog)."""
+    return F.pmod(attrs_hash(attrs), F.lit(num_partitions)).cast("int")
+
+
+def salt_column(key: Column, n_salt: int) -> Column:
+    """Salt for hot-key mitigation before routing aggregates/writes
+    (north rule; SURVEY.md §4): pmod(xxhash64(key), n_salt)."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salt)).cast("int")

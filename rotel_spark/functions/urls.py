@@ -1,0 +1,41 @@
+"""URL decomposition — host / domain / tld extraction.
+
+Enrichment-side analog of the reference's static attribute mapping
+(Datadog mapping tables, /root/reference/src/exporters/datadog/
+transform/otel_mapping/attributes.rs:11-76): domain/tld become join
+keys against small broadcast lookup tables.
+
+Pure JVM expressions (parse_url / regexp) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# portable SQL snippets (same text runs in Spark SQL and DuckDB oracles)
+def host_sql(url_col: str) -> str:
+    return f"regexp_extract({url_col}, 'https?://([^/]+)', 1)"
+
+
+def tld_sql(url_col: str) -> str:
+    return f"regexp_extract({url_col}, 'https?://[^/]*[.]([a-z0-9-]+)(/|$)', 1)"
+
+
+def host_of(url: Column) -> Column:
+    return F.regexp_extract(url, r"https?://([^/]+)", 1)
+
+
+def tld_of(url: Column) -> Column:
+    return F.regexp_extract(url, r"https?://[^/]*[.]([a-z0-9-]+)(/|$)", 1)
+
+
+def path_of(url: Column) -> Column:
+    return F.regexp_extract(url, r"https?://[^/]+(/[^?#]*)", 1)
+
+
+def registered_domain_of(url: Column) -> Column:
+    """host minus subdomains is out of scope without a PSL; here domain
+    = full host (single-label hosts in fixtures). Kept as a function so
+    a public-suffix broadcast join can slot in."""
+    return host_of(url)

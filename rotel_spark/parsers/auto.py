@@ -1,0 +1,117 @@
+"""Auto-detecting multi-format line parser.
+
+The reference auto-detects per line — JSON if the line starts with
+'{' else combined (/root/reference/src/receivers/file/parser/
+nginx.rs:218-225, :243-255). We widen the dispatch to the four fixture
+formats with cheap structural probes, then run each format's
+expression parser and coalesce per-field — a single projection, no
+branching per row in Python (SURVEY.md §2.2:
+``when(startswith('{'), from_json).otherwise(regexp)``).
+
+Output: the unified flat log-record shape (FIXTURES.md §3):
+  time_unix_nano, observed_time_unix_nano, severity_number,
+  severity_text, body, log_source, status, parse_ok + format fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.severity import (
+    kmsg_prio_to_severity_number,
+    kmsg_prio_to_severity_text,
+    level_to_severity_number,
+    level_to_severity_text,
+    status_to_severity_number,
+    status_to_severity_text,
+)
+from ..functions.timestamps import (
+    NANOS,
+    NGINX_TIME_FMT,
+    parse_timestamp_chain,
+    to_unix_nanos,
+)
+from . import json_log, kmsg, nginx
+
+
+def detect_format(line) -> "F.Column":  # type: ignore[name-defined]
+    """'json' | 'kmsg' | 'nginx_error' | 'nginx' | 'unknown'."""
+    return (
+        F.when(line.startswith("{"), F.lit("json"))
+        .when(line.rlike(r"^\d+,\d+,\d+(,[^;]*)?;"), F.lit("kmsg"))
+        .when(line.rlike(r"^\d{4}/\d{2}/\d{2} "), F.lit("nginx_error"))
+        .when(line.rlike(nginx.COMBINED_PATTERN), F.lit("nginx"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """One-pass multi-format parse into the unified record shape."""
+    line = F.col(line_col)
+    fmt = detect_format(line)
+
+    # per-format field expressions (evaluated lazily by CASE — the
+    # regexes only run for rows in their branch after codegen)
+    ng_status = F.regexp_extract(line, nginx.COMBINED_PATTERN, 5)
+    ng_time = F.regexp_extract(line, nginx.COMBINED_PATTERN, 3)
+    err_level = F.regexp_extract(line, nginx.ERROR_PATTERN, 2)
+    err_time = F.regexp_extract(line, nginx.ERROR_PATTERN, 1)
+    km_prio = F.regexp_extract(line, kmsg.KMSG_PATTERN, 1)
+    km_usec = F.regexp_extract(line, kmsg.KMSG_PATTERN, 3)
+    j = F.from_json(line, json_log.ACCESS_JSON_SCHEMA)
+
+    status = (
+        F.when(fmt == "nginx", F.when(ng_status != "", ng_status.cast("int")))
+        .when(fmt == "json", j["status"])
+        .otherwise(F.lit(None).cast("int"))
+    )
+    sev_num = (
+        F.when(fmt == "nginx", status_to_severity_number(status))
+        .when(fmt == "json", status_to_severity_number(status))
+        .when(fmt == "nginx_error", level_to_severity_number(err_level))
+        .when(
+            fmt == "kmsg",
+            kmsg_prio_to_severity_number(
+                F.when(km_prio != "", km_prio.cast("int"))
+            ),
+        )
+        .otherwise(F.lit(0))
+    )
+    sev_txt = (
+        F.when(fmt == "nginx", status_to_severity_text(status))
+        .when(fmt == "json", status_to_severity_text(status))
+        .when(fmt == "nginx_error", level_to_severity_text(err_level))
+        .when(
+            fmt == "kmsg",
+            kmsg_prio_to_severity_text(
+                F.when(km_prio != "", km_prio.cast("int"))
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    ts_ns = (
+        F.when(
+            fmt == "nginx",
+            to_unix_nanos(parse_timestamp_chain(ng_time, NGINX_TIME_FMT)),
+        )
+        .when(fmt == "json", (j["time"] * F.lit(NANOS)).cast("long"))
+        .when(
+            fmt == "nginx_error",
+            to_unix_nanos(parse_timestamp_chain(err_time)),
+        )
+        .when(
+            fmt == "kmsg",
+            F.when(km_usec != "", (km_usec.cast("long") * 1000).cast("long")),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return (
+        df.withColumn("log_source", fmt)
+        .withColumn("status", status)
+        .withColumn("severity_number", sev_num)
+        .withColumn("severity_text", sev_txt)
+        .withColumn("time_unix_nano", ts_ns)
+        .withColumn("parse_ok", fmt != "unknown")
+        .withColumn("body", line)
+    )

@@ -1,0 +1,58 @@
+"""kmsg (kernel log) parser.
+
+Format ``priority,sequence,timestamp[,flags];message`` per
+/root/reference/src/receivers/kmsg/parser.rs:5-17. facility =
+priority >> 3, severity = priority & 7, mapped to OTLP severity via
+parser.rs:155-166 (see functions.severity.KMSG_PRIO_MAP).
+
+Engine rule (documented deviation): the fixture's timestamp field is
+absolute epoch *microseconds* rather than microseconds-since-boot —
+the sandbox has no boot time to anchor to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.severity import (
+    kmsg_prio_to_severity_number,
+    kmsg_prio_to_severity_text,
+)
+
+KMSG_PATTERN = r"^(\d+),(\d+),(\d+)(,[^;]*)?;(.*)$"
+
+
+def parse_kmsg(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    line = F.col(line_col)
+    prio = F.regexp_extract(line, KMSG_PATTERN, 1)
+    return (
+        df.withColumn("parse_ok", line.rlike(KMSG_PATTERN))
+        .withColumn(
+            "priority", F.when(prio != "", prio.cast("int"))
+        )
+        .withColumn("facility", (F.col("priority") / 8).cast("int"))
+        .withColumn(
+            "seq",
+            F.when(
+                F.regexp_extract(line, KMSG_PATTERN, 2) != "",
+                F.regexp_extract(line, KMSG_PATTERN, 2).cast("long"),
+            ),
+        )
+        .withColumn(
+            "ts_usec",
+            F.when(
+                F.regexp_extract(line, KMSG_PATTERN, 3) != "",
+                F.regexp_extract(line, KMSG_PATTERN, 3).cast("long"),
+            ),
+        )
+        .withColumn("time_unix_nano", (F.col("ts_usec") * 1000).cast("long"))
+        .withColumn("kmsg_message", F.regexp_extract(line, KMSG_PATTERN, 5))
+        .withColumn(
+            "severity_number", kmsg_prio_to_severity_number(F.col("priority"))
+        )
+        .withColumn(
+            "severity_text", kmsg_prio_to_severity_text(F.col("priority"))
+        )
+        .withColumn("log_source", F.lit("kmsg"))
+    )

@@ -1,0 +1,123 @@
+"""Nginx access/error log parsers — JVM-side regexp projections.
+
+Patterns mirror the reference byte-for-byte minus Rust named groups
+(Spark's regexp_extract is positional):
+  * combined: /root/reference/src/receivers/file/parser/nginx.rs:53
+  * error:    nginx.rs:64
+  * time fmt: %d/%b/%Y:%H:%M:%S %z (nginx.rs:40)
+Non-matching lines produce NULL fields and are counted-dropped, never
+fatal (reference skips parse errors, receiver.rs:832-836).
+
+One regexp_extract per capture group; Catalyst subexpression-eliminates
+the repeated pattern so the line is scanned once per distinct regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.severity import (
+    level_to_severity_number,
+    level_to_severity_text,
+    status_to_severity_number,
+    status_to_severity_text,
+)
+from ..functions.timestamps import (
+    NGINX_TIME_FMT,
+    parse_timestamp_chain,
+    to_unix_nanos,
+)
+
+# nginx.rs:53 — positional groups:
+# 1 remote_addr, 2 remote_user, 3 time_local, 4 request, 5 status,
+# 6 body_bytes_sent, 7 http_referer, 8 http_user_agent
+COMBINED_PATTERN = (
+    r'^(\S+) - (\S+) \[([^\]]+)\] "([^"]*)" (\d+) (\d+|-) "([^"]*)" "([^"]*)"'
+)
+
+# nginx.rs:64 — 1 time, 2 level, 3 pid, 4 tid, 5 cid?, 6 message
+ERROR_PATTERN = (
+    r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] (\d+)#(\d+):"
+    r"(?: \*(\d+))? (.+)$"
+)
+
+COMBINED_FIELDS = [
+    "remote_addr",
+    "remote_user",
+    "time_local",
+    "request",
+    "status",
+    "body_bytes_sent",
+    "http_referer",
+    "http_user_agent",
+]
+
+
+def combined_matches(line: Column) -> Column:
+    """Cheap prefilter — run BEFORE any UDF parse (SURVEY.md §4:
+    'Filter Before You Parse'; UDFs are optimization barriers)."""
+    return line.rlike(COMBINED_PATTERN)
+
+
+def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """Project combined-access fields; adds source='nginx' (nginx.rs:107-121).
+
+    Output columns: the 8 capture groups (status/body_bytes_sent as
+    INT/LONG), method, http_path, time_unix_nano, severity_number,
+    severity_text, parse_ok.
+    """
+    line = F.col(line_col)
+    out = df
+    for i, name in enumerate(COMBINED_FIELDS, start=1):
+        out = out.withColumn(name, F.regexp_extract(line, COMBINED_PATTERN, i))
+    status = F.when(F.col("status") != "", F.col("status").cast("int"))
+    out = (
+        out.withColumn("parse_ok", combined_matches(line))
+        .withColumn("status", status)
+        .withColumn(
+            "body_bytes_sent",
+            F.when(
+                F.col("body_bytes_sent").rlike(r"^\d+$"),
+                F.col("body_bytes_sent").cast("long"),
+            ),
+        )
+        .withColumn(
+            "method", F.regexp_extract(F.col("request"), r"^(\S+)", 1)
+        )
+        .withColumn(
+            "http_path", F.regexp_extract(F.col("request"), r"^\S+ (\S+)", 1)
+        )
+        .withColumn(
+            "time_unix_nano",
+            to_unix_nanos(
+                parse_timestamp_chain(F.col("time_local"), NGINX_TIME_FMT)
+            ),
+        )
+        .withColumn("severity_number", status_to_severity_number(F.col("status")))
+        .withColumn("severity_text", status_to_severity_text(F.col("status")))
+        .withColumn("log_source", F.lit("nginx"))
+    )
+    return out
+
+
+def parse_error_log(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """Project nginx error-log fields (nginx.rs:64, :128-142)."""
+    line = F.col(line_col)
+    fields = ["err_time", "level", "pid", "tid", "cid", "err_message"]
+    out = df
+    for i, name in enumerate(fields, start=1):
+        out = out.withColumn(name, F.regexp_extract(line, ERROR_PATTERN, i))
+    return (
+        out.withColumn("parse_ok", line.rlike(ERROR_PATTERN))
+        .withColumn("pid", F.when(F.col("pid") != "", F.col("pid").cast("long")))
+        .withColumn("tid", F.when(F.col("tid") != "", F.col("tid").cast("long")))
+        .withColumn("cid", F.when(F.col("cid") != "", F.col("cid").cast("long")))
+        .withColumn(
+            "time_unix_nano",
+            to_unix_nanos(parse_timestamp_chain(F.col("err_time"))),
+        )
+        .withColumn("severity_number", level_to_severity_number(F.col("level")))
+        .withColumn("severity_text", level_to_severity_text(F.col("level")))
+        .withColumn("log_source", F.lit("nginx_error"))
+    )

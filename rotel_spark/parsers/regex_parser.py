@@ -1,0 +1,73 @@
+"""Generic named-group grok parser — the vectorized pandas-UDF path.
+
+The reference's RegexParser (/root/reference/src/receivers/file/parser/
+regex.rs:28-54) takes an arbitrary user regex with ≥1 named capture
+group and emits one attribute per group, with an optional timestamp
+field parsed by a chrono format (:107-149).
+
+Spark mapping (SURVEY.md §2.2): arbitrary user patterns can't be
+unrolled into fixed regexp_extract projections at plan time when the
+group list is dynamic, so this is the sanctioned slow path — ONE
+Arrow-batched pandas UDF using ``Series.str.extract`` (vectorized C
+regex over the whole batch, never per-row Python). The known presets
+(nginx, kmsg, json) use the pure-expression parsers instead.
+
+Always prefilter with ``line.rlike(prefix)`` BEFORE this stage — the
+UDF is an optimization barrier (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _validate(pattern: str) -> list[str]:
+    """Mirror regex.rs:28-54: compile-time validation, ≥1 named group."""
+    compiled = re.compile(pattern)
+    groups = list(compiled.groupindex.keys())
+    if not groups:
+        raise ValueError(
+            "regex pattern must contain at least one named capture group"
+        )
+    return groups
+
+
+def grok(
+    df: DataFrame,
+    pattern: str,
+    line_col: str = "raw_line",
+    out_col: str = "grok",
+) -> DataFrame:
+    """Extract all named groups into a struct column ``out_col``.
+
+    Non-matching lines yield a struct of NULLs (caller filters on any
+    non-null group == reference's skip-on-parse-error,
+    receiver.rs:832-836).
+    """
+    groups = _validate(pattern)
+    schema = T.StructType([T.StructField(g, T.StringType()) for g in groups])
+
+    @F.pandas_udf(schema)
+    def _extract(lines):  # type: ignore[no-untyped-def]
+        # Series.str.extract: vectorized, one DataFrame column per
+        # named group, NaN on no-match
+        out = lines.str.extract(pattern)
+        out.columns = groups
+        return out
+
+    return df.withColumn(out_col, _extract(F.col(line_col)))
+
+
+def grok_flat(
+    df: DataFrame, pattern: str, line_col: str = "raw_line"
+) -> DataFrame:
+    """grok() then flatten the struct to top-level columns."""
+    groups = _validate(pattern)
+    out = grok(df, pattern, line_col)
+    for g in groups:
+        out = out.withColumn(g, F.col(f"grok.{g}"))
+    return out.drop("grok")

@@ -1,0 +1,1 @@
+from . import pipeline, routing  # noqa: F401

@@ -1,0 +1,149 @@
+"""Config-driven pipeline builder — the engine's `Agent::run` analog.
+
+The reference fixes its topology at startup: receivers → processor
+chain → batcher → fanout → exporters (/root/reference/src/init/
+agent.rs:131-265). Here the topology is a declarative config dict and
+every stage is a pure ``DataFrame -> DataFrame`` function, applied in
+declared order (processor chaining semantics,
+src/topology/processors.rs:561-573 — ordered, each sees the previous
+output). Catalyst fuses the whole chain into one physical plan; there
+is no per-stage materialization unless a stage opts into persist (the
+fan-out boundary does — fanout.rs clone-per-consumer ≈ persist).
+
+Example config::
+
+    {
+      "source": {"kind": "pages_parquet", "path": ..., "reps": 20},
+      "processors": [
+        {"kind": "parse_auto"},
+        {"kind": "filter", "expr": "parse_ok"},
+        {"kind": "resource_attrs", "attrs": {"service.name": "web"}},
+        {"kind": "attributes", "actions": [...]},
+        {"kind": "sample", "numerator": 1, "denominator": 10},
+      ],
+      "sinks": [
+        {"name": "errors", "predicate": "route = 'errors'", "path": ...},
+        ...
+      ],
+      "batch": {"max_records_per_file": 8192},
+    }
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Pipeline:
+    """Ordered chain of named stages plus sink specs."""
+
+    stages: list[tuple[str, Stage]] = field(default_factory=list)
+
+    def add(self, name: str, fn: Stage) -> "Pipeline":
+        self.stages.append((name, fn))
+        return self
+
+    def run(self, df: DataFrame) -> DataFrame:
+        for _, fn in self.stages:
+            df = fn(df)
+        return df
+
+
+def build_processor(spec: dict) -> Stage:
+    """Translate one processor spec into a stage function."""
+    kind = spec["kind"]
+    if kind == "parse_auto":
+        from ..parsers.auto import parse_auto
+
+        return lambda df: parse_auto(df, spec.get("line_col", "raw_line"))
+    if kind == "parse_nginx":
+        from ..parsers.nginx import parse_combined
+
+        return lambda df: parse_combined(df, spec.get("line_col", "raw_line"))
+    if kind == "grok":
+        from ..parsers.regex_parser import grok_flat
+
+        return lambda df: grok_flat(
+            df, spec["pattern"], spec.get("line_col", "raw_line")
+        )
+    if kind == "filter":
+        return lambda df: df.filter(spec["expr"])
+    if kind == "sample":
+        from ..operators.filters import mod_sample
+
+        return lambda df: mod_sample(
+            df, spec["key"], spec["numerator"], spec["denominator"]
+        )
+    if kind == "resource_attrs":
+        from ..operators.resource import upsert_resource_attributes
+
+        return lambda df: upsert_resource_attributes(df, spec["attrs"])
+    if kind == "attributes":
+        from ..operators.attributes import apply_actions
+
+        return lambda df: apply_actions(
+            df, spec["actions"], col=spec.get("col", "log_attributes")
+        )
+    if kind == "redaction":
+        from ..operators.redaction import redact
+
+        return lambda df: redact(
+            df,
+            col=spec.get("col", "log_attributes"),
+            blocked_key_patterns=spec.get("blocked_key_patterns", []),
+            blocked_value_patterns=spec.get("blocked_value_patterns", []),
+        )
+    if kind == "route":
+        from .routing import with_route
+
+        return lambda df: with_route(df, spec.get("buckets", 8))
+    if kind == "python":  # escape hatch: user fn(df) -> df
+        return spec["fn"]
+    raise ValueError(f"unknown processor kind: {kind}")
+
+
+def build_pipeline(config: dict) -> Pipeline:
+    p = Pipeline()
+    for i, spec in enumerate(config.get("processors", [])):
+        p.add(f"{i}:{spec['kind']}", build_processor(spec))
+    return p
+
+
+def run_job(
+    spark: SparkSession, config: dict, run_id: str = "run0"
+) -> dict[str, int]:
+    """Full job: source → stages → fan-out sinks → lineage. Returns
+    per-sink row counts."""
+    from ..fixtures import extract_log_line, load_pages_full
+    from ..lineage import write_lineage
+    from ..sinks.writer import fan_out
+
+    src = config["source"]
+    if src["kind"] == "pages_synthetic":
+        df = load_pages_full(spark, src["sf_dir"], src.get("reps", 20))
+        df = extract_log_line(df)
+    elif src["kind"] == "parquet":
+        df = spark.read.parquet(src["path"])
+    else:
+        raise ValueError(f"unknown source kind: {src['kind']}")
+
+    out = build_pipeline(config).run(df)
+    counts = fan_out(
+        out,
+        config["sinks"],
+        max_records_per_file=config.get("batch", {}).get(
+            "max_records_per_file", 8192
+        ),
+    )
+    if config.get("lineage_path"):
+        write_lineage(
+            out, config["lineage_path"], run_id=run_id, sink_counts=counts
+        )
+    return counts

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "rotel_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the log-pipeline workload.
+
+    Local mode here; on a real cluster the same confs apply (AQE,
+    Arrow, UTC, skew-join) and master/memory come from spark-submit.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism in local mode; a real cluster would size by
+        # data volume (~128MB per shuffle partition at 100TB scale AQE
+        # coalesces from a high initial number instead)
+        n = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ROTEL_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # explicit utf-8 error policy (SURVEY.md §7 hard part #1):
+        # invalid bytes decode to U+FFFD instead of failing the task —
+        # web-crawl html is routinely malformed
+        .config("spark.sql.legacy.codingErrorAction", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+from . import writer  # noqa: F401

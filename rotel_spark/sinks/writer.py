@@ -1,0 +1,67 @@
+"""Fan-out sink writer — persist once, write per sink.
+
+Reference semantics (/root/reference/src/topology/fanout.rs:17-20,
+144-153): every batch goes to all configured exporters of its type,
+cloned for all-but-the-last consumer. Spark mapping: persist the parsed
+DataFrame once, then run one write action per sink — parse cost is paid
+once, not once per sink (SURVEY.md §4 custom work #3).
+
+Batch sizing: the reference flushes at max_size=8192 records
+(src/topology/batch.rs:15-23); batch boundaries in Spark are output
+files, so ``maxRecordsPerFile=8192`` reproduces the invariant "no
+output unit exceeds max size". Count parity is on record totals per
+sink, matching the leaf-count rule (batch_resources.rs:126-130).
+
+Per-sink counters use ``df.observe`` — metrics ride the write job
+itself instead of a second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+from pyspark.storagelevel import StorageLevel
+
+
+def fan_out(
+    df: DataFrame,
+    sinks: list[dict],
+    max_records_per_file: int = 8192,
+    persist: bool = True,
+) -> dict[str, int]:
+    """Write df to every sink; returns {sink_name: rows_written}.
+
+    sink spec: {"name": str, "path": str, "predicate": str | None,
+                "format": "parquet" | "json" | "noop",
+                "partition_by": [col, ...] | None}
+    predicate=None → broadcast-to-all (rotel fanout); a predicate makes
+    it a routed sink (north rule).
+    """
+    if persist and len(sinks) > 1:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts: dict[str, int] = {}
+    try:
+        for spec in sinks:
+            sink_df = df
+            if spec.get("predicate"):
+                sink_df = sink_df.filter(spec["predicate"])
+            obs = Observation(f"sink:{spec['name']}")
+            sink_df = sink_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            fmt = spec.get("format", "parquet")
+            w = sink_df.write.mode(spec.get("mode", "overwrite")).option(
+                "maxRecordsPerFile", max_records_per_file
+            )
+            if spec.get("partition_by"):
+                w = w.partitionBy(*spec["partition_by"])
+            if fmt == "noop":
+                w.format("noop").save()
+            elif fmt == "json":
+                w.json(spec["path"])
+            else:
+                w.parquet(spec["path"])
+            counts[spec["name"]] = obs.get["rows"]
+    finally:
+        if persist and len(sinks) > 1:
+            df.unpersist()
+    return counts

@@ -1,0 +1,1 @@
+from . import textfile  # noqa: F401

@@ -1,0 +1,39 @@
+"""File source — the file-receiver analog.
+
+The reference tails glob-matched files with inode tracking and emits
+lines with per-file offsets (/root/reference/src/receivers/file/
+receiver.rs:815-897; defaults config.rs:91-118: 4 concurrent files,
+100-record batches). Batch Spark mapping: ``spark.read.text(glob)``
+with hidden ``_metadata`` lineage columns; "tail" semantics belong to
+the streaming module (Structured Streaming file source).
+
+Per-file parallelism is input-split parallelism; the reference's
+max_concurrent_files=4 maps to executor slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_lines(spark: SparkSession, glob: str) -> DataFrame:
+    """Lines with source lineage: raw_line, src_file, file_size,
+    mod_time. (Line offsets within a file are not exposed by the text
+    source; lineage granularity is the file — checkpoint ranges use
+    row ids instead, see lineage.py.)"""
+    return (
+        spark.read.text(glob)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.col("_metadata.file_path").alias("src_file"),
+            F.col("_metadata.file_size").alias("file_size"),
+            F.col("_metadata.file_modification_time").alias("mod_time"),
+        )
+    )
+
+
+def read_pages_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The Iceberg-table-scan receive step (SURVEY.md §2.1). Parquet
+    here; on a cluster this is spark.read.format('iceberg')."""
+    return spark.read.parquet(path)

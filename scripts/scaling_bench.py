@@ -1,0 +1,110 @@
+"""Scaling-efficiency protocol (BASELINE.md): same job, same input, two
+parallelism levels — local[N] vs local[4N] — efficiency = R_4N/(4·R_N).
+
+Each level runs in its own subprocess (one JVM per master setting),
+warm-up run discarded. Writes BENCH/BASELINE.md with the table the
+north rule asks for.
+
+Usage: python scripts/scaling_bench.py [N] (default 8 → compares 8 vs 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, "{repo}")
+from rotel_spark.session import build_spark
+from bench import run_pipeline_bench
+
+cores = int(sys.argv[1])
+spark = build_spark(app_name=f"scaling_{{cores}}",
+                    master=f"local[{{cores}}]", shuffle_partitions=cores)
+sf = "{sf}"
+reps = {reps}
+results = []
+for i in range(3):  # run 0 = warm-up (discarded)
+    out = tempfile.mkdtemp(prefix="rotel_scale_")
+    try:
+        r = run_pipeline_bench(spark, sf, reps, out)
+        results.append(r)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+best = max(results[1:], key=lambda r: r["records_per_sec"])
+print("RESULT " + json.dumps({{
+    "cores": cores, "sec": best["sec"],
+    "records": best["records"],
+    "records_per_sec": best["records_per_sec"],
+    "mb_per_sec": best["mb_per_sec"],
+    "sink_counts": best["sink_counts"],
+}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf: str, reps: int) -> dict:
+    code = CHILD.format(repo=REPO, sf=sf, reps=reps)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(cores)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cores={cores}:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
+    lo = run_level(n, sf, reps)
+    hi = run_level(4 * n, sf, reps)
+    eff = hi["records_per_sec"] / (4 * lo["records_per_sec"])
+    parity = lo["sink_counts"] == hi["sink_counts"]
+    report = {
+        "n_cores": n, "r_n": round(lo["records_per_sec"], 1),
+        "4n_cores": 4 * n, "r_4n": round(hi["records_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "per_sink_parity_across_levels": parity,
+        "sink_counts": lo["sink_counts"],
+        "records": lo["records"], "sf": sf, "reps": reps,
+    }
+    print(json.dumps(report))
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(
+        f"""# BENCH — scaling measurement (protocol in /root/repo/BASELINE.md)
+
+Same E2E pipeline job (synthesize pages → extract → multi-format parse
+→ route → fan-out 3 routed parquet sinks), same input
+({report["records"]} routed records from {sf} × reps={reps}),
+two local parallelism levels, warm-up discarded, best of 2 timed runs.
+
+| level | cores | records/sec | MB/s (html) | wall sec |
+|---|---|---|---|---|
+| N  | {n} | {report["r_n"]} | {round(lo["mb_per_sec"], 2)} | {round(lo["sec"], 2)} |
+| 4N | {4 * n} | {report["r_4n"]} | {round(hi["mb_per_sec"], 2)} | {round(hi["sec"], 2)} |
+
+**Scaling efficiency R_4N / (4 × R_N) = {report["scaling_efficiency"]}**
+(target ≥ 0.8).
+
+Per-sink routed counts identical at both levels: {parity}
+(counts: {lo["sink_counts"]}).
+"""
+    )
+    print(f"wrote {bench_dir / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()

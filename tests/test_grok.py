@@ -1,0 +1,68 @@
+"""Pandas-UDF grok engine (regex_parser) — the vectorized slow path for
+arbitrary named-group patterns (reference regex.rs:28-54 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rotel_spark.parsers.regex_parser import grok_flat
+
+
+def test_grok_named_groups(spark):
+    df = spark.createDataFrame(
+        [("alice 42",), ("bob 7",), ("nomatch",)], "raw_line string"
+    )
+    out = grok_flat(df, r"^(?P<name>[a-z]+) (?P<num>\d+)$").collect()
+    by_line = {r.raw_line: r for r in out}
+    assert by_line["alice 42"].name == "alice"
+    assert by_line["alice 42"].num == "42"
+    assert by_line["bob 7"].num == "7"
+    # non-matching line → NULL groups (skip-not-fail, receiver.rs:832-836)
+    assert by_line["nomatch"].name is None
+
+
+def test_grok_requires_named_group():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        from rotel_spark.parsers.regex_parser import _validate
+
+        _validate(r"^\d+$")
+
+
+def test_grok_agrees_with_expression_parser(spark, sf_unit):
+    """The UDF grok and the JVM-expression nginx parser must agree on
+    every combined-format line (same pattern, two engines)."""
+    from pyspark.sql import functions as F
+
+    from rotel_spark.fixtures import load_pages
+    from rotel_spark.parsers.nginx import parse_combined
+
+    pages = (
+        load_pages(spark, sf_unit, reps=2)
+        .filter(F.col("fmt") == 0)
+        .withColumn("raw_line", F.col("log_line"))
+    )
+    pattern = (
+        r'^(?P<addr>\S+) - (?P<user>\S+) \[(?P<tl>[^\]]+)\] "(?P<req>[^"]*)"'
+        r' (?P<st>\d+) (?P<bytes>\d+|-) "(?P<ref>[^"]*)" "(?P<ua>[^"]*)"'
+    )
+    g = grok_flat(pages, pattern).select(
+        "page_id", "addr", "st", "ua"
+    )
+    e = parse_combined(pages).select(
+        "page_id",
+        F.col("remote_addr").alias("addr2"),
+        F.col("status").cast("string").alias("st2"),
+        F.col("http_user_agent").alias("ua2"),
+    )
+    diff = (
+        g.join(e, "page_id")
+        .filter(
+            (F.col("addr") != F.col("addr2"))
+            | (F.col("st") != F.col("st2"))
+            | (F.col("ua") != F.col("ua2"))
+        )
+        .count()
+    )
+    assert diff == 0

@@ -1,0 +1,33 @@
+"""Drive every queries()/oracle_sql() pair through the local replica of
+the driver's correctness gate at sf0.001 (fast) — the real gate runs at
+sf0.01; test_oracle_parity_sf001 covers the same code paths."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.harness import compare
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_parity(spark, sf_unit, name):
+    assert name in QUERIES, f"oracle {name} has no query"
+    result = compare(spark, sf_unit, QUERIES[name], ORACLES[name])
+    assert result["rows_match"], result
+    assert result["cols_match"], result
+    assert result["hash_match"], result
+
+
+def test_all_queries_run(spark, sf_unit):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_unit)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

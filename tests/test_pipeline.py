@@ -1,0 +1,156 @@
+"""E2E pipeline tests: config → stages → fan-out sinks → lineage →
+resume. Mirrors the reference's pipeline-level tests
+(generic_pipeline.rs:457-666) and fanout ack semantics."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from rotel_spark.fixtures import extract_log_line, load_pages_full
+from rotel_spark.lineage import committed_ranges, resume_filter, write_lineage
+from rotel_spark.plans.pipeline import build_pipeline, run_job
+from rotel_spark.sinks.writer import fan_out
+
+
+def _config(tmp: pathlib.Path, sf_dir: str) -> dict:
+    return {
+        "source": {"kind": "pages_synthetic", "sf_dir": sf_dir, "reps": 4},
+        "processors": [
+            {"kind": "parse_auto"},
+            {"kind": "filter", "expr": "parse_ok"},
+            {"kind": "resource_attrs", "attrs": {"service.name": "web"}},
+            {"kind": "route"},
+        ],
+        "sinks": [
+            {"name": "errors", "predicate": "route = 'errors'",
+             "path": str(tmp / "errors")},
+            {"name": "ops", "predicate": "route = 'ops'",
+             "path": str(tmp / "ops")},
+            {"name": "archive", "predicate": "route = 'archive'",
+             "path": str(tmp / "archive")},
+            {"name": "all", "predicate": None, "path": str(tmp / "all")},
+        ],
+        "lineage_path": str(tmp / "_lineage"),
+        "batch": {"max_records_per_file": 100},
+    }
+
+
+def test_run_job_per_sink_count_parity(spark, sf_unit, tmp_path):
+    """Per-sink routed counts must equal an independently computed
+    oracle on the same rows (north rule parity check)."""
+    cfg = _config(tmp_path, sf_unit)
+    counts = run_job(spark, cfg, run_id="r1")
+
+    # oracle: recompute routing from the ground-truth columns
+    pages = extract_log_line(load_pages_full(spark, sf_unit, reps=4))
+    pdf = pages.select("page_id", "fmt", "status", "prio").toPandas()
+    ok = pdf[pdf.fmt != 9]
+
+    def sev(row):
+        if row.fmt in (0, 2):
+            return 17 if row.status >= 500 else 13 if row.status >= 400 else 9
+        if row.fmt == 1:
+            return {0: 17, 1: 13, 2: 10, 3: 17, 4: 21}[row.page_id % 5]
+        if row.fmt == 3:
+            return {0: 21, 1: 21, 2: 21, 3: 17, 4: 13, 5: 10, 6: 9, 7: 5}[
+                row.prio % 8
+            ]
+        return 0
+
+    sevs = ok.apply(sev, axis=1)
+    exp = {
+        "errors": int((sevs >= 17).sum()),
+        "ops": int(((sevs >= 13) & (sevs < 17)).sum()),
+        "archive": int((sevs < 13).sum()),
+        "all": len(ok),
+    }
+    assert counts == exp
+
+    # what was written is what was counted
+    for name in ("errors", "ops", "archive", "all"):
+        n = spark.read.parquet(str(tmp_path / name)).count()
+        assert n == counts[name], name
+
+
+def test_batch_max_records_per_file(spark, sf_unit, tmp_path):
+    """batch.rs max-size semantic: no output file exceeds the cap."""
+    cfg = _config(tmp_path, sf_unit)
+    run_job(spark, cfg, run_id="r1")
+    import pyarrow.parquet as pq
+
+    for f in (tmp_path / "all").glob("*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 100
+
+
+def test_routed_row_equality(spark, sf_unit, tmp_path):
+    """Routed-row equality per sink: the union of routed sinks equals
+    the parsed set, and each sink holds exactly its route's rows."""
+    cfg = _config(tmp_path, sf_unit)
+    run_job(spark, cfg, run_id="r1")
+    allr = spark.read.parquet(str(tmp_path / "all"))
+    for name in ("errors", "ops", "archive"):
+        sink = spark.read.parquet(str(tmp_path / name))
+        assert sink.filter(F.col("route") != name).count() == 0
+        exp = allr.filter(F.col("route") == name)
+        assert (
+            sink.select("page_id").exceptAll(exp.select("page_id")).count()
+            == 0
+        )
+        assert sink.count() == exp.count()
+
+
+def test_lineage_written_and_resume_skips_committed(spark, sf_unit, tmp_path):
+    """Checkpoint semantics (offset_tracker.rs:50-63): committed ranges
+    are never re-processed on resume."""
+    pages = load_pages_full(spark, sf_unit, reps=4)
+    lineage = str(tmp_path / "_lineage")
+
+    first = pages.filter(F.col("page_id") < 1000)
+    write_lineage(first, lineage, run_id="rX", sink_counts={"all": 0})
+    cp = committed_ranges(spark, lineage, "rX")
+    assert cp.count() > 0
+    assert cp.agg(F.sum("rows_in")).collect()[0][0] == first.count()
+
+    remaining = resume_filter(pages, cp)
+    assert remaining.count() == pages.count() - first.count()
+    assert remaining.filter(F.col("page_id") < 1000).count() == 0
+
+    # idempotent second leg: process remaining, commit, nothing left
+    write_lineage(remaining, lineage, run_id="rX", sink_counts={"all": 0})
+    cp2 = committed_ranges(spark, lineage, "rX")
+    assert resume_filter(pages, cp2).count() == 0
+
+
+def test_pipeline_stage_order_preserved(spark):
+    """processors.rs:561-573: stages chain in declared order."""
+    import pyspark.sql.functions as F
+
+    cfg = {
+        "processors": [
+            {"kind": "python", "fn": lambda df: df.withColumn("x", F.lit(1))},
+            {
+                "kind": "python",
+                "fn": lambda df: df.withColumn("x", F.col("x") + 1),
+            },
+        ]
+    }
+    df = spark.range(3)
+    out = build_pipeline(cfg).run(df)
+    assert [r.x for r in out.collect()] == [2, 2, 2]
+
+
+def test_fanout_broadcast_to_all(spark, tmp_path):
+    """fanout.rs:17-20: no predicate → every sink gets every row."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    counts = fan_out(
+        df,
+        [
+            {"name": "a", "path": str(tmp_path / "a")},
+            {"name": "b", "path": str(tmp_path / "b")},
+        ],
+    )
+    assert counts == {"a": 100, "b": 100}
+    assert spark.read.parquet(str(tmp_path / "a")).count() == 100
+    assert spark.read.parquet(str(tmp_path / "b")).count() == 100
