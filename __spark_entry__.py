@@ -370,6 +370,189 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).select("doc_id", "simhash")
 
 
+def q_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-boundary semantics (batch.rs:15-23, max_size=8192): output
+    units per route = ceil(records/8192); count parity on leaf records
+    (batch_resources.rs:126-130 rule)."""
+    df = drop_unparsed(_parsed(spark, sf_dir))
+    routed = with_route(df)
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.ceil(F.count(F.lit(1)) / 8192).cast("long").alias("n_batches"),
+    )
+
+
+def q_attr_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive resource-attr hash (kafka exporter.rs:128-162:
+    keys sorted before hashing). Build the same map in two insertion
+    orders; partitions must agree on every row (n_mismatch = 0)."""
+    from rotel_spark.functions.hashing import routing_partition
+
+    pages = _pages(spark, sf_dir)
+    m1 = F.create_map(
+        F.lit("service.name"), F.lit("web"),
+        F.lit("host.name"), F.col("host"),
+        F.lit("lang"), F.col("lang"),
+    )
+    m2 = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("host.name"), F.col("host"),
+        F.lit("service.name"), F.lit("web"),
+    )
+    df = pages.withColumn("p1", routing_partition(m1, 64)).withColumn(
+        "p2", routing_partition(m2, 64)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("p1") != F.col("p2")).cast("long")).alias("n_mismatch"),
+    )
+
+
+def q_emf_dimension_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one true hash aggregation (awsemf
+    transformer.rs:46-75): group datapoints by (namespace,
+    dimension-set, timestamp-bucket) and emit one record per group."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("namespace"),
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+            (F.col("user_id") % 10).alias("dim_user_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_offset_min_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-pending-offset commit rule (offset_tracker.rs:49-63): per
+    source partition, the committable offset is min(pending)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # model: user_id = source partition, event_id = offset, 'error'
+    # rows = still-pending acks
+    pending = ev.filter(F.col("event_type") == "error")
+    return pending.groupBy("user_id").agg(
+        F.min("event_id").alias("committable_offset"),
+        F.max("event_id").alias("high_water"),
+        F.count(F.lit(1)).alias("n_pending"),
+    )
+
+
+def q_nginx_error_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nginx error-log grok (nginx.rs:64): time/level/pid/tid/cid/msg."""
+    from rotel_spark.parsers.nginx import parse_error_log
+
+    df = parse_error_log(_pages(spark, sf_dir).filter(F.col("fmt") == 1))
+    return df.select(
+        "page_id",
+        "level",
+        "pid",
+        "tid",
+        "cid",
+        "err_message",
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textfn.bpe_ish_token_count(F.col("text")).cast("int").alias(
+            "n_pieces"
+        ),
+    )
+
+
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.round(textfn.stopword_ratio(F.col("text"), "en"), 6).alias(
+            "stop_ratio_en"
+        ),
+        F.round(textfn.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def q_observed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """receiver.rs:842: records without a parseable timestamp fall back
+    to the observed (ingest) time — here a deterministic job constant."""
+    # deterministic ingest timestamp OUTSIDE the generated event-time
+    # range so only truly unparsed rows coalesce to it
+    observed_ns = 1800000000 * 1_000_000_000
+    df = parse_auto(_pages(spark, sf_dir))
+    eff = F.coalesce(F.col("time_unix_nano"), F.lit(observed_ns))
+    return (
+        df.withColumn("effective_ts", eff)
+        .groupBy((F.col("effective_ts") == observed_ns).alias("used_fallback"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: hamming(simhash) <= 12 over band-
+    bucketed pairs (engine-hash based → rows-only check)."""
+    from rotel_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash64(docs).select(
+        F.col("doc_id").alias("_id"), "simhash"
+    )
+    # band on the top 16 bits so the self-join is bucket-bounded
+    banded = sig.withColumn(
+        "band", F.shiftrightunsigned(F.col("simhash"), 48)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ),
+        )
+        .filter(F.col("hamming") <= 12)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only)."""
+    from rotel_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup(emb, threshold=0.3, planes=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction plumbing (decode stubbed;
+    deterministic fake kernel) — rows-only check."""
+    from rotel_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 96)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -398,6 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "batch_sizing": q_batch_sizing,
+        "attr_hash_routing": q_attr_hash_routing,
+        "emf_dimension_grouping": q_emf_dimension_grouping,
+        "offset_min_tracking": q_offset_min_tracking,
+        "nginx_error_parse": q_nginx_error_parse,
+        "bpe_token_count": q_bpe_token_count,
+        "stopword_ratio": q_stopword_ratio,
+        "observed_fallback": q_observed_fallback,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -604,7 +798,74 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
        round(score, 6) AS score_r
 FROM ranked WHERE rank <= 3
 """,
-        # minhash_dedup / simhash: engine-specific hashes — rows-only check
+        "batch_sizing": f"""
+WITH {PAGES},
+parsed AS (
+  SELECT {ROUTE_SQL.replace("severity_number", "sevn")} AS route FROM (
+    SELECT CASE WHEN fmt IN (0, 2) THEN {sev_n}
+         WHEN fmt = 1 THEN {kmsg_level_sql()}
+         WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
+         ELSE 0 END AS sevn
+    FROM pages WHERE fmt <> 9
+  )
+)
+SELECT route, count(*) AS n_records,
+       CAST(ceil(count(*) / 8192.0) AS BIGINT) AS n_batches
+FROM parsed GROUP BY 1
+""",
+        "attr_hash_routing": f"""
+WITH {PAGES}
+SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM pages
+""",
+        "emf_dimension_grouping": """
+SELECT event_type AS namespace,
+       date_trunc('hour', ts) AS ts_hour,
+       user_id % 10 AS dim_user_bucket,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "offset_min_tracking": """
+SELECT user_id, min(event_id) AS committable_offset,
+       max(event_id) AS high_water, count(*) AS n_pending
+FROM events WHERE event_type = 'error' GROUP BY 1
+""",
+        "nginx_error_parse": f"""
+WITH {PAGES}
+SELECT page_id,
+  level,
+  CAST(page_id % 9999 + 1 AS BIGINT) AS pid,
+  CAST(page_id % 97 AS BIGINT) AS tid,
+  CAST(page_id % 777 AS BIGINT) AS cid,
+  'upstream timed out while reading /api/v' || CAST(page_id % 3 AS STRING)
+    || '/items/' || CAST(page_id % 50 AS STRING) AS err_message,
+  ts_sec * 1000000000 AS time_unix_nano,
+  {kmsg_level_sql()} AS severity_number,
+  {level_text_sql()} AS severity_text
+FROM pages WHERE fmt = 1
+""",
+        "bpe_token_count": f"""
+SELECT doc_id,
+  CAST({textfn.bpe_ish_token_count_sql("text")} AS INT) AS n_pieces
+FROM documents
+""",
+        "stopword_ratio": r"""
+SELECT doc_id,
+  round(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> x IN ('the','and','of','to','a'))) AS DOUBLE)
+    / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6)
+    AS stop_ratio_en,
+  round(CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+""",
+        "observed_fallback": f"""
+WITH {PAGES}
+SELECT (fmt = 9) AS used_fallback, count(*) AS n FROM pages GROUP BY 1
+""",
+        # rows-only (engine-specific hashes / pandas-UDF kernels):
+        # minhash_dedup, simhash, simhash_pairs, embedding_near_dup,
+        # multimodal_features
     }
 
 

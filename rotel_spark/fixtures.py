@@ -268,6 +268,28 @@ def load_pages_full(
     )
 
 
+def materialize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    reps: int,
+    path: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Write the pages table (input_hint shape + ground-truth cols) to
+    parquet once and return the reader. This is the 'Iceberg table'
+    the pipeline scans — generation is data-prep, not pipeline work,
+    so benchmarks time the scan→parse→route→write path only."""
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = load_pages_full(spark, sf_dir, reps)
+        if partitions:
+            df = df.repartition(partitions)
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Recover `text` from `html` byte-identically → column `extracted_text`.
 

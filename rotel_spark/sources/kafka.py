@@ -1,0 +1,83 @@
+"""Kafka source/sink builders — the kafka receiver/exporter analog.
+
+No broker exists in this sandbox, so these build the (read|write)
+stream specs and key expressions without starting them; the semantics
+they encode are tested where testable (key hashing, topic naming).
+
+Reference semantics mirrored:
+  * per-telemetry-type topics otlp_{logs,metrics,traces}
+    (src/receivers/kafka/config.rs:111-117)
+  * optional partition-by-resource-attributes: message key =
+    deterministic order-insensitive hash of resource attrs
+    (src/exporters/kafka/exporter.rs:128-162 — sorts pairs first);
+    requires one ResourceLogs per message (split, exporter.rs:363-397)
+    → in Spark each row already is one record, so the key is per-row
+  * offset tracking = Structured Streaming's Kafka offsets +
+    checkpointLocation (min-pending analog, offset_tracker.rs:36-57)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sorted_map_repr
+
+TOPICS = {
+    "logs": "otlp_logs",
+    "metrics": "otlp_metrics",
+    "traces": "otlp_traces",
+}
+
+
+def read_stream_spec(
+    spark: SparkSession,
+    brokers: str,
+    telemetry_type: str = "logs",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Unstarted readStream for the per-type topic."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", TOPICS[telemetry_type])
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return r
+
+
+def kafka_key(resource_attrs) -> "F.Column":  # type: ignore[name-defined]
+    """Order-insensitive resource-attr message key (exporter.rs:128-162)."""
+    return F.sha2(sorted_map_repr(resource_attrs), 256)
+
+
+def to_kafka_batch(
+    df: DataFrame,
+    value_cols: list[str],
+    resource_col: str = "resource_attributes",
+    partition_by_resource_attrs: bool = True,
+) -> DataFrame:
+    """Shape a DataFrame into the (key, value) columns Kafka expects;
+    value is JSON-serialized (reference supports json|protobuf,
+    exporters/kafka/config.rs:116-131 — we emit json)."""
+    key = (
+        kafka_key(F.col(resource_col))
+        if partition_by_resource_attrs
+        else F.lit(None).cast("string")
+    )
+    return df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
+    )
+
+
+def write_stream_spec(df: DataFrame, brokers: str, telemetry_type: str = "logs"):
+    """Unstarted writeStream to the per-type topic."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", TOPICS[telemetry_type])
+    )

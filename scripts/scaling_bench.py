@@ -30,14 +30,14 @@ spark = build_spark(app_name=f"scaling_{{cores}}",
 sf = "{sf}"
 reps = {reps}
 results = []
-for i in range(3):  # run 0 = warm-up (discarded)
+for i in range(2):  # run_pipeline_bench warms up internally
     out = tempfile.mkdtemp(prefix="rotel_scale_")
     try:
         r = run_pipeline_bench(spark, sf, reps, out)
         results.append(r)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-best = max(results[1:], key=lambda r: r["records_per_sec"])
+best = max(results, key=lambda r: r["records_per_sec"])
 print("RESULT " + json.dumps({{
     "cores": cores, "sec": best["sec"],
     "records": best["records"],

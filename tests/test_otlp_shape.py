@@ -1,0 +1,113 @@
+"""rows ↔ ResourceLogs tree round-trip + python processor + kafka key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rotel_spark.operators.python_processor import chain, pandas_processor
+from rotel_spark.sinks.otlp_shape import (
+    from_resource_logs_tree,
+    to_resource_logs_tree,
+)
+
+
+def _flat(spark, n=100):
+    df = spark.range(n)
+    return df.select(
+        (F.col("id") * 1000).alias("time_unix_nano"),
+        F.when(F.col("id") % 3 == 0, 17).otherwise(9).alias("severity_number"),
+        F.lit("INFO").alias("severity_text"),
+        F.concat(F.lit("line"), F.col("id")).alias("body"),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (F.col("id") % 4).cast("string")),
+        ).alias("resource_attributes"),
+    )
+
+
+def test_tree_roundtrip_lossless(spark):
+    flat = _flat(spark)
+    tree = to_resource_logs_tree(flat)
+    assert tree.count() == 4  # one row per resource identity
+    back = from_resource_logs_tree(tree)
+    assert back.count() == flat.count()
+    # exact multiset equality of all fields
+    cols = ["time_unix_nano", "severity_number", "severity_text", "body"]
+    assert back.select(cols).exceptAll(flat.select(cols)).count() == 0
+    assert flat.select(cols).exceptAll(back.select(cols)).count() == 0
+
+
+def test_tree_split_oversized_resource(spark):
+    """batch split analog (batch_resources.rs:137-177): a resource with
+    more records than max splits into chunks, none exceeding max."""
+    flat = _flat(spark, 100).withColumn(
+        "resource_attributes",
+        F.create_map(F.lit("service.name"), F.lit("one")),
+    )
+    tree = to_resource_logs_tree(flat, max_records_per_resource=30)
+    sizes = [r.n for r in tree.select(F.size("log_records").alias("n")).collect()]
+    assert sum(sizes) == 100
+    assert max(sizes) <= 30
+    assert len(sizes) == 4  # ceil(100/30)
+
+
+def test_pandas_processor_mutate_and_delete(spark):
+    df = spark.range(50).selectExpr("id", "id * 2 as v")
+
+    def proc(pdf):
+        pdf = pdf[pdf.id % 5 != 0].copy()  # delete records
+        pdf["v"] = pdf["v"] + 1  # mutate
+        return pdf
+
+    out = pandas_processor(df, proc)
+    rows = {r.id: r.v for r in out.collect()}
+    assert len(rows) == 40
+    assert rows[1] == 3
+
+
+def test_pandas_processor_error_policy(spark):
+    df = spark.range(10).selectExpr("id", "id as v")
+
+    def boom(pdf):
+        raise RuntimeError("panic")
+
+    assert pandas_processor(df, boom, on_error="drop").count() == 0
+    assert pandas_processor(df, boom, on_error="preserve").count() == 10
+    import pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with pytest.raises(Exception):
+        pandas_processor(df, boom, on_error="fail").count()
+
+
+def test_processor_chain_order(spark):
+    df = spark.range(5).selectExpr("id", "cast(0 as long) as v")
+
+    def p1(d):
+        return pandas_processor(d, lambda p: p.assign(v=p.v + 1))
+
+    def p2(d):
+        return pandas_processor(d, lambda p: p.assign(v=p.v * 10))
+
+    out = chain(df, [p1, p2])
+    assert all(r.v == 10 for r in out.collect())
+
+
+def test_kafka_key_order_insensitive(spark):
+    from rotel_spark.sources.kafka import kafka_key, to_kafka_batch
+
+    df = spark.createDataFrame([(1,)], "id int")
+    m1 = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
+    m2 = F.create_map(F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1"))
+    row = df.select(
+        kafka_key(m1).alias("k1"), kafka_key(m2).alias("k2")
+    ).collect()[0]
+    assert row.k1 == row.k2
+
+    batch = to_kafka_batch(
+        df.withColumn("resource_attributes", m1).withColumn("x", F.lit("y")),
+        value_cols=["id", "x"],
+    )
+    r = batch.collect()[0]
+    assert set(batch.columns) == {"key", "value"}
+    assert '"x":"y"' in r.value
