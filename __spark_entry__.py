@@ -553,6 +553,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clickhouse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sink-row normalization: parsed records → the reference's
+    15-column LogRecordRow (clickhouse schema.rs:91-141); flat columns
+    oracle-checked (map columns excluded from the compare)."""
+    from rotel_spark.schema import to_log_record_row
+
+    df = upsert_resource_attributes(
+        _parsed(spark, sf_dir), {"service.name": "web-crawl"}
+    )
+    rows = to_log_record_row(df)
+    return rows.select(
+        "Timestamp", "SeverityText", "SeverityNumber", "ServiceName", "Body"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -592,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "clickhouse_rows": q_clickhouse_rows,
     }
 
 
@@ -862,6 +878,22 @@ FROM documents
         "observed_fallback": f"""
 WITH {PAGES}
 SELECT (fmt = 9) AS used_fallback, count(*) AS n FROM pages GROUP BY 1
+""",
+        "clickhouse_rows": f"""
+WITH {PAGES}
+SELECT
+  CASE WHEN fmt = 9 THEN 0 ELSE ts_sec * 1000000000 END AS Timestamp,
+  CASE WHEN fmt IN (0, 2) THEN {sev_t}
+       WHEN fmt = 1 THEN {level_text_sql()}
+       WHEN fmt = 3 THEN {kmsg_text_sql()}
+       ELSE '' END AS SeverityText,
+  CASE WHEN fmt IN (0, 2) THEN {sev_n}
+       WHEN fmt = 1 THEN {kmsg_level_sql()}
+       WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
+       ELSE 0 END AS SeverityNumber,
+  'web-crawl' AS ServiceName,
+  log_line AS Body
+FROM pages
 """,
         # rows-only (engine-specific hashes / pandas-UDF kernels):
         # minhash_dedup, simhash, simhash_pairs, embedding_near_dup,

@@ -41,8 +41,12 @@ def run_pipeline_bench(spark, sf_dir: str, reps: int, out_dir: str) -> dict:
     from rotel_spark.plans.routing import with_route
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    table = f"/tmp/rotel_pages_{tag}_x{reps}"
-    pages = materialize_pages(spark, sf_dir, reps, table)
+    # 64 files ≈ block-sized splits locally — a 100 TB Iceberg table has
+    # natural file-level parallelism; a single fat parquet file caps the
+    # scan at maxPartitionBytes granularity (measured: 1 file → ~2 tasks
+    # → 8 cores tie 32 cores)
+    table = f"/tmp/rotel_pages_{tag}_x{reps}_p64"
+    pages = materialize_pages(spark, sf_dir, reps, table, partitions=64)
 
     def pipeline():
         df = extract_log_line(pages)
@@ -55,10 +59,17 @@ def run_pipeline_bench(spark, sf_dir: str, reps: int, out_dir: str) -> dict:
 
     from rotel_spark.sinks.writer import write_routed
 
+    # 64k records/file for the throughput measurement — the 8192 batch
+    # semantic stays the pipeline default (count parity is on per-sink
+    # totals, not batch shapes; SURVEY.md §2.4), but 8192 at 1M+ rows
+    # means hundreds of files whose serial commit dominates wall time
+    mrpf = 65536
     # warm-up (JIT/codegen/page-cache), discarded per BASELINE.md protocol
-    write_routed(pipeline(), f"{out_dir}/warmup")
+    write_routed(pipeline(), f"{out_dir}/warmup", max_records_per_file=mrpf)
     t0 = time.time()
-    counts = write_routed(pipeline(), f"{out_dir}/routed")
+    counts = write_routed(
+        pipeline(), f"{out_dir}/routed", max_records_per_file=mrpf
+    )
     elapsed = time.time() - t0
     n_routed = sum(counts.values())
     total_bytes = (

@@ -73,7 +73,29 @@ base AS (
          CAST(d.doc_id AS BIGINT) * {reps} + r.rep AS page_id
   FROM documents d CROSS JOIN reps r
 ),
-parts AS (
+{pages_tail_clause()}"""
+
+
+def spark_fast_with_clause(reps: int) -> str:
+    """Spark-only base using explode(sequence()) — identical rows to
+    pages_with_clause but O(1) plan depth. The UNION-ALL reps chain
+    nests the logical plan `reps` levels deep and blows the analyzer
+    stack past ~500 (measured: reps=800 → JVM StackOverflow); oracles
+    keep the portable form (reps ≤ 64), bulk/bench loads use this."""
+    return f"""
+base AS (
+  SELECT doc_id, rep, lang, text,
+         CAST(doc_id AS BIGINT) * {reps} + rep AS page_id
+  FROM documents LATERAL VIEW explode(sequence(0, {reps} - 1)) t AS rep
+),
+{pages_tail_clause()}"""
+
+
+def pages_tail_clause() -> str:
+    """parts/stamped/pages CTEs over a `base` relation (shared by the
+    portable and spark-fast variants — single source of truth for the
+    derivation rules)."""
+    return f"""parts AS (
   SELECT *,
     CASE WHEN page_id % 23 < 9 THEN 'cdn-hotmedia'
          WHEN page_id % 23 < 13 THEN 'www-bigshop'
@@ -212,18 +234,34 @@ def tld_registry_sql() -> str:
 # Spark-side loaders
 # ---------------------------------------------------------------------------
 
-def register_documents(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
+def register_documents(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> None:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        # documents is a single small file (one scan task); fan the base
+        # out BEFORE the row-multiplying explode or generation runs on
+        # one core (measured: reps=3200 serial = 30+ min on one thread)
+        df = df.repartition(partitions)
+    df.createOrReplaceTempView("documents")
 
 
 def load_pages(
     spark: SparkSession, sf_dir: str, reps: int = DEFAULT_REPS
 ) -> DataFrame:
-    """The `pages` table as a DataFrame (no html column — see build_html)."""
-    register_documents(spark, sf_dir)
-    return spark.sql(f"WITH {pages_with_clause(reps)} SELECT * FROM pages")
+    """The `pages` table as a DataFrame (no html column — see build_html).
+
+    reps > 64 switches to the explode-based base (identical rows; the
+    UNION-ALL chain overflows the analyzer stack at large reps) and
+    pre-spreads documents across cores so generation parallelizes."""
+    fast = reps > 64
+    register_documents(
+        spark,
+        sf_dir,
+        partitions=spark.sparkContext.defaultParallelism * 2 if fast else None,
+    )
+    clause = spark_fast_with_clause(reps) if fast else pages_with_clause(reps)
+    return spark.sql(f"WITH {clause} SELECT * FROM pages")
 
 
 def build_html(df: DataFrame) -> DataFrame:

@@ -12,6 +12,13 @@ committed ranges so only unprocessed ranges re-run.
 Range key: page_id (monotone row id). A range is committed only after
 ALL sinks for the run committed — the same "ack fires when the last
 ref resolves" rule as payload.rs:426-439.
+
+Delivery semantics: sink rows are exactly-once (every committed row is
+inside a committed range by construction); DROPPED rows falling outside
+all committed ranges (e.g. a garbage line at a partition boundary) may
+be re-observed on resume — dead-letter/quarantine output is therefore
+at-least-once, matching the reference's at-least-once stance
+(offset_tracker.rs pending semantics).
 """
 
 from __future__ import annotations

@@ -1,0 +1,50 @@
+"""Debug inspector — per-batch counters and record dumps.
+
+Mirrors the reference's debug exporter/inspector
+(/root/reference/src/topology/debug/mod.rs:44-67): `basic` logs one
+line of counts per batch (`resource_logs=N logs=M`, debug/logs.rs:7-16);
+`detailed` dumps records. Spark mapping: observe() metrics riding the
+action + a bounded .show-style sample — never a full collect.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+log = logging.getLogger("rotel_spark.debug")
+
+
+def inspect(
+    df: DataFrame,
+    name: str = "debug",
+    verbosity: str = "basic",
+    sample_rows: int = 5,
+) -> tuple[DataFrame, Observation]:
+    """Attach a debug observation; returns (df, observation).
+
+    Counters resolve after the next action on df — the observation
+    object exposes {rows, parsed, errors} like the reference's
+    accepted/refused counters (otlp_http.rs:355-385).
+    """
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    if "parse_ok" in df.columns:
+        metrics.append(F.sum(F.col("parse_ok").cast("long")).alias("parsed"))
+        metrics.append(
+            F.sum((~F.col("parse_ok")).cast("long")).alias("errors")
+        )
+    if "severity_number" in df.columns:
+        metrics.append(
+            F.sum((F.col("severity_number") >= 17).cast("long")).alias(
+                "n_error_sev"
+            )
+        )
+    out = df.observe(obs, *metrics)
+    if verbosity == "detailed":
+        for row in df.take(sample_rows):
+            log.info("%s record: %s", name, row.asDict())
+    return out, obs

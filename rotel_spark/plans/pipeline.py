@@ -75,6 +75,18 @@ def build_processor(spec: dict) -> Stage:
         )
     if kind == "filter":
         return lambda df: df.filter(spec["expr"])
+    if kind == "quarantine":
+        # dead-letter policy (SURVEY.md §2.8 nack): rows failing `expr`
+        # are written to a quarantine table instead of silently dropped;
+        # the stage returns only passing rows. The reference's options
+        # are panic or treat-as-ack (file/config.rs:83-86) — a
+        # dead-letter table is the documented batch equivalent.
+        def _quarantine(df: DataFrame) -> DataFrame:
+            bad = df.filter(f"NOT ({spec['expr']})")
+            bad.write.mode(spec.get("mode", "append")).parquet(spec["path"])
+            return df.filter(spec["expr"])
+
+        return _quarantine
     if kind == "sample":
         from ..operators.filters import mod_sample
 
@@ -122,7 +134,7 @@ def run_job(
     """Full job: source → stages → fan-out sinks → lineage. Returns
     per-sink row counts."""
     from ..fixtures import extract_log_line, load_pages_full
-    from ..lineage import write_lineage
+    from ..lineage import committed_ranges, resume_filter, write_lineage
     from ..sinks.writer import fan_out
 
     src = config["source"]
@@ -133,6 +145,13 @@ def run_job(
         df = spark.read.parquet(src["path"])
     else:
         raise ValueError(f"unknown source kind: {src['kind']}")
+
+    # resume: skip ranges already committed for this run_id
+    # (min-pending-offset semantics, offset_tracker.rs:50-63)
+    if config.get("lineage_path"):
+        cp = committed_ranges(spark, config["lineage_path"], run_id)
+        if cp.limit(1).count() > 0:
+            df = resume_filter(df, cp, key=config.get("lineage_key", "page_id"))
 
     out = build_pipeline(config).run(df)
     counts = fan_out(

@@ -1,0 +1,110 @@
+"""Canonical flat log-record schema — the ClickHouse LogRecordRow mirror.
+
+Column set and order fixed by the reference's
+`get_log_row_col_keys` (/root/reference/src/exporters/clickhouse/
+schema.rs:91-141); the parquet exporter emits the identical 15 columns
+(src/exporters/file/parquet/log.rs:13-31). Severity is truncated to
+u8 (transform_logs.rs:70-71); service_name comes from the resource
+attr `service.name` with '' default (transform_logs.rs:29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_RECORD_COLUMNS = [
+    "Timestamp",
+    "TraceId",
+    "SpanId",
+    "TraceFlags",
+    "SeverityText",
+    "SeverityNumber",
+    "ServiceName",
+    "Body",
+    "ResourceSchemaUrl",
+    "ResourceAttributes",
+    "ScopeSchemaUrl",
+    "ScopeName",
+    "ScopeVersion",
+    "ScopeAttributes",
+    "LogAttributes",
+]
+
+LOG_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("Timestamp", T.LongType()),  # ns since epoch (u64)
+        T.StructField("TraceId", T.StringType()),
+        T.StructField("SpanId", T.StringType()),
+        T.StructField("TraceFlags", T.IntegerType()),  # u8
+        T.StructField("SeverityText", T.StringType()),
+        T.StructField("SeverityNumber", T.IntegerType()),  # u8-truncated
+        T.StructField("ServiceName", T.StringType()),
+        T.StructField("Body", T.StringType()),
+        T.StructField("ResourceSchemaUrl", T.StringType()),
+        T.StructField(
+            "ResourceAttributes", T.MapType(T.StringType(), T.StringType())
+        ),
+        T.StructField("ScopeSchemaUrl", T.StringType()),
+        T.StructField("ScopeName", T.StringType()),
+        T.StructField("ScopeVersion", T.StringType()),
+        T.StructField(
+            "ScopeAttributes", T.MapType(T.StringType(), T.StringType())
+        ),
+        T.StructField(
+            "LogAttributes", T.MapType(T.StringType(), T.StringType())
+        ),
+    ]
+)
+
+_EMPTY_MAP = "map<string,string>"
+
+
+def to_log_record_row(df: DataFrame) -> DataFrame:
+    """Normalize a parsed frame into the exact 15-column LogRecordRow.
+
+    Mapping rules from transform_logs.rs:12-106:
+      * Timestamp = time_unix_nano
+      * ServiceName = resource_attributes['service.name'] else ''
+      * SeverityNumber truncated to u8 range
+      * missing trace/scope fields default to ''/empty maps
+    """
+    cols = set(df.columns)
+
+    def col_or(name: str, default):
+        return F.col(name) if name in cols else default
+
+    empty_map = F.create_map().cast(_EMPTY_MAP)
+    resource = F.coalesce(
+        col_or("resource_attributes", empty_map), empty_map
+    )
+    return df.select(
+        F.coalesce(col_or("time_unix_nano", F.lit(None).cast("long")), F.lit(0)).alias("Timestamp"),
+        F.coalesce(col_or("trace_id", F.lit("")), F.lit("")).alias("TraceId"),
+        F.coalesce(col_or("span_id", F.lit("")), F.lit("")).alias("SpanId"),
+        F.coalesce(col_or("trace_flags", F.lit(0)), F.lit(0))
+        .cast("int")
+        .alias("TraceFlags"),
+        F.coalesce(col_or("severity_text", F.lit("")), F.lit("")).alias(
+            "SeverityText"
+        ),
+        F.pmod(
+            F.coalesce(col_or("severity_number", F.lit(0)), F.lit(0)), F.lit(256)
+        )
+        .cast("int")
+        .alias("SeverityNumber"),
+        F.coalesce(
+            F.element_at(resource, "service.name"), F.lit("")
+        ).alias("ServiceName"),
+        F.coalesce(col_or("body", F.lit("")), F.lit("")).alias("Body"),
+        F.lit("").alias("ResourceSchemaUrl"),
+        resource.alias("ResourceAttributes"),
+        F.lit("").alias("ScopeSchemaUrl"),
+        F.lit("").alias("ScopeName"),
+        F.lit("").alias("ScopeVersion"),
+        empty_map.alias("ScopeAttributes"),
+        F.coalesce(col_or("log_attributes", empty_map), empty_map).alias(
+            "LogAttributes"
+        ),
+    )

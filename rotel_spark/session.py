@@ -42,6 +42,15 @@ def build_spark(
         # invalid bytes decode to U+FFFD instead of failing the task —
         # web-crawl html is routinely malformed
         .config("spark.sql.legacy.codingErrorAction", "true")
+        # throughput GC for the allocation-heavy parse workload:
+        # ParallelGC beats G1 by ~60% at 32 threads on the string-churn
+        # pipeline (measured 33s → 20.6s / 15M rows); on a real cluster
+        # executors would set the same via spark.executor.extraJavaOptions
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # dynamic-partition writes otherwise insert a per-task sort on
+        # the partition column that spills at high concurrency
+        # (measured: routed write 62-78s → 35-39s at 32 cores / 15M rows)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "8")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

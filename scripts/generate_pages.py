@@ -1,0 +1,44 @@
+"""Synthetic pages-table generator CLI — the `generate-otlp` analog.
+
+The reference ships a fake-telemetry generator binary
+(/root/reference/src/bin/generate-otlp/main.rs:25-50) used to feed
+benchmarks and dev setups. This writes the deterministic synthetic
+pages table (input_hint shape + ground-truth columns) to parquet.
+
+Usage:
+  python scripts/generate_pages.py OUT_DIR [--sf-dir D] [--reps N]
+      [--partitions P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--partitions", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from rotel_spark.fixtures import load_pages_full
+    from rotel_spark.session import build_spark
+
+    spark = build_spark(app_name="generate_pages")
+    try:
+        df = load_pages_full(spark, args.sf_dir, args.reps).repartition(
+            args.partitions
+        )
+        df.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(f"wrote {n} pages rows to {args.out_dir}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import shutil
 import subprocess
 import sys
 
@@ -30,7 +31,7 @@ spark = build_spark(app_name=f"scaling_{{cores}}",
 sf = "{sf}"
 reps = {reps}
 results = []
-for i in range(2):  # run_pipeline_bench warms up internally
+for i in range(3):  # run_pipeline_bench warms up internally; best-of-3
     out = tempfile.mkdtemp(prefix="rotel_scale_")
     try:
         r = run_pipeline_bench(spark, sf, reps, out)
@@ -51,9 +52,15 @@ spark.stop()
 
 def run_level(cores: int, sf: str, reps: int) -> dict:
     code = CHILD.format(repo=REPO, sf=sf, reps=reps)
+    # pin the child to exactly `cores` hardware threads — otherwise GC
+    # and Spark helper threads spill onto the remaining cores and the
+    # "N-core" run is really an N+GC-core run (inflates R_N, deflates
+    # measured efficiency)
+    cmd = [sys.executable, "-c", code, str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, "-c", code, str(cores)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -67,9 +74,19 @@ def run_level(cores: int, sf: str, reps: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
+    # ≥60s of work at N cores (BASELINE.md protocol) — 200 reps = 1M
+    # rows finishes in <30s at 8 cores and fixed overhead dominates
+    reps = int(os.environ.get("ROTEL_BENCH_REPS", "800"))
+    # two interleaved passes per level: this host shows bursty
+    # hypervisor CPU steal (cumulative ~2.4%, bursts much higher);
+    # best-of across interleaved passes decorrelates level comparisons
+    # from noise windows
     lo = run_level(n, sf, reps)
     hi = run_level(4 * n, sf, reps)
+    lo2 = run_level(n, sf, reps)
+    hi2 = run_level(4 * n, sf, reps)
+    lo = max(lo, lo2, key=lambda r: r["records_per_sec"])
+    hi = max(hi, hi2, key=lambda r: r["records_per_sec"])
     eff = hi["records_per_sec"] / (4 * lo["records_per_sec"])
     parity = lo["sink_counts"] == hi["sink_counts"]
     report = {

@@ -123,6 +123,22 @@ def test_lineage_written_and_resume_skips_committed(spark, sf_unit, tmp_path):
     assert resume_filter(pages, cp2).count() == 0
 
 
+def test_run_job_resume_processes_nothing_twice(spark, sf_unit, tmp_path):
+    """Idempotent resume (offset_tracker.rs:50-63): re-running the same
+    run_id after a full commit processes zero rows and sinks keep their
+    original contents."""
+    cfg = _config(tmp_path, sf_unit)
+    for s in cfg["sinks"]:
+        s["mode"] = "append"
+    first = run_job(spark, cfg, run_id="rr")
+    assert sum(first.values()) > 0
+    second = run_job(spark, cfg, run_id="rr")
+    assert all(v == 0 for v in second.values())
+    # sink contents unchanged (no duplicates appended)
+    n = spark.read.parquet(str(tmp_path / "all")).count()
+    assert n == first["all"]
+
+
 def test_pipeline_stage_order_preserved(spark):
     """processors.rs:561-573: stages chain in declared order."""
     import pyspark.sql.functions as F

@@ -1,0 +1,76 @@
+"""LogRecordRow normalization, debug inspector, quarantine stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rotel_spark.fixtures import extract_log_line, load_pages_full
+from rotel_spark.operators.debug import inspect
+from rotel_spark.parsers.auto import parse_auto
+from rotel_spark.schema import (
+    LOG_RECORD_COLUMNS,
+    LOG_RECORD_SCHEMA,
+    to_log_record_row,
+)
+
+
+def _parsed(spark, sf):
+    pages = extract_log_line(load_pages_full(spark, sf, reps=2))
+    return parse_auto(pages)
+
+
+def test_log_record_row_shape(spark, sf_unit):
+    df = _parsed(spark, sf_unit).withColumn(
+        "resource_attributes",
+        F.create_map(F.lit("service.name"), F.lit("web-crawl")),
+    )
+    row_df = to_log_record_row(df)
+    # exact 15-column set and order (schema.rs:119-141); nullability
+    # may be tighter than the declared schema (coalesce defaults)
+    assert row_df.columns == LOG_RECORD_COLUMNS
+    assert [(f.name, f.dataType) for f in row_df.schema.fields] == [
+        (f.name, f.dataType) for f in LOG_RECORD_SCHEMA.fields
+    ]
+    sample = row_df.filter(F.col("SeverityNumber") > 0).take(1)[0]
+    assert sample.ServiceName == "web-crawl"
+    assert sample.Timestamp > 0
+    assert sample.Body != ""
+
+
+def test_log_record_row_defaults(spark):
+    """Missing optional fields default to ''/0/empty map."""
+    df = spark.createDataFrame([("hello", 9)], "body string, severity_number int")
+    row = to_log_record_row(df).collect()[0]
+    assert row.TraceId == "" and row.SpanId == ""
+    assert row.ServiceName == ""
+    assert row.ScopeAttributes == {}
+    assert row.SeverityNumber == 9
+
+
+def test_debug_inspector_counters(spark, sf_unit):
+    df = _parsed(spark, sf_unit)
+    out, obs = inspect(df, "t")
+    total = out.count()
+    got = obs.get
+    assert got["rows"] == total
+    assert got["parsed"] + got["errors"] == total
+    assert got["errors"] == df.filter("NOT parse_ok").count()
+
+
+def test_quarantine_stage(spark, sf_unit, tmp_path):
+    from rotel_spark.plans.pipeline import build_pipeline
+
+    pages = extract_log_line(load_pages_full(spark, sf_unit, reps=2))
+    qpath = str(tmp_path / "dead_letter")
+    cfg = {
+        "processors": [
+            {"kind": "parse_auto"},
+            {"kind": "quarantine", "expr": "parse_ok", "path": qpath},
+        ]
+    }
+    out = build_pipeline(cfg).run(pages)
+    kept = out.count()
+    dead = spark.read.parquet(qpath)
+    assert dead.count() == pages.count() - kept
+    assert dead.filter("parse_ok").count() == 0
+    assert dead.count() > 0  # garbage rows exist by construction
