@@ -152,6 +152,119 @@ def lsh_topk(
     )
 
 
+def ivf_build_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids from a bounded sample.
+
+    Scale rationale: centroid quality needs only a few thousand
+    vectors, so the sample (deterministic hash-ordered limit, no RNG)
+    is collected once on the driver and Lloyd iterations run in numpy —
+    O(sample × cells), independent of corpus size. The corpus itself is
+    never collected. Returns a (n_cells, dim) numpy array.
+    """
+    import numpy as np
+
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell — Arrow-batched,
+    centroids broadcast as a closure constant (small)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent = np.asarray(centroids, dtype=np.float32)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        arr = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        # ||x-c||^2 = ||x||^2 - 2x·c + ||c||^2 ; argmin over cells
+        d = -2 * (arr @ cent.T) + (cent**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: search only the query's n_probe nearest cells.
+
+    At scale the corpus is written partitioned by ivf_cell (partition
+    pruning makes each probe touch n_probe/n_cells of the data); here
+    the cell filter expresses the same pruning.
+    """
+    import numpy as np
+
+    cent = ivf_build_centroids(corpus, vec_col, n_cells, seed=seed)
+    c = ivf_assign(corpus, cent, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "ivf_cell",
+    )
+
+    # queries: explode into their n_probe nearest cells
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        d = ((cent - v[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r[id_col], list(map(float, v)), int(cell)))
+    q = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_rows, f"query_id long, qvec array<double>, ivf_cell int"
+        )
+    )
+    scored = c.join(q, "ivf_cell").withColumn(
+        "score", cosine(F.col("qvec"), F.col("cvec").cast("array<double>"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
