@@ -30,7 +30,10 @@ from rotel_spark.functions.severity import (
     status_severity_text_sql,
 )
 from rotel_spark.operators.attributes import apply_actions
+from rotel_spark.operators.dedup import simhash_oracle_ctes
 from rotel_spark.operators.filters import drop_unparsed, mod_sample
+from rotel_spark.operators.multimodal import multimodal_oracle_sql
+from rotel_spark.operators.similarity import near_dup_oracle_sql
 from rotel_spark.operators.redaction import redact
 from rotel_spark.operators.resource import upsert_resource_attributes
 from rotel_spark.parsers.auto import parse_auto
@@ -353,17 +356,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup survivor count (no SQL oracle — engine-
-    specific hash; driver records rows-only check)."""
+    """MinHash+LSH candidates, exact-Jaccard verified survivors.
+
+    Oracle-checkable: with 16 bands × 4 rows the LSH candidate set
+    contains every pair at J≥0.8 (fixture near-dups are all ≥0.9; miss
+    prob ~4e-8), so the survivor set equals the exact-Jaccard greedy
+    rule the DuckDB oracle computes brute-force."""
     from rotel_spark.operators.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = minhash_dedup(docs, "doc_id", "text", jaccard_threshold=0.8)
+    kept = minhash_dedup(
+        docs, "doc_id", "text", verify_exact=True, jaccard_threshold=0.8
+    )
     return kept.agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs on LSH-pruned candidates; output is
+    the exact pair set (recall ~1 at the fixture's J levels), verified
+    against a brute-force O(n²) DuckDB oracle."""
+    from rotel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8,
+        band_hashes=64, bands=16,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (pandas-UDF path; rows-only check)."""
+    """SimHash signatures — md5-token-hash + bit-vote, expression-only;
+    DuckDB oracle reproduces every bit (dedup.simhash_oracle_ctes)."""
     from rotel_spark.operators.dedup import simhash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -496,16 +522,17 @@ def q_observed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: hamming(simhash) <= 12 over band-
-    bucketed pairs (engine-hash based → rows-only check)."""
+    bucketed pairs; bit-exact DuckDB oracle (same md5 token hashes)."""
     from rotel_spark.operators.dedup import simhash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = simhash64(docs).select(
         F.col("doc_id").alias("_id"), "simhash"
     )
-    # band on the top 16 bits so the self-join is bucket-bounded
+    # band on the top 16 bits (60-bit sig) so the self-join is
+    # bucket-bounded
     banded = sig.withColumn(
-        "band", F.shiftrightunsigned(F.col("simhash"), 48)
+        "band", F.shiftrightunsigned(F.col("simhash"), 44)
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -530,13 +557,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only)."""
+    """Embedding-cosine near-dup pairs: banded sign-LSH candidates
+    (8 bands × 4 bits — each band prunes to 1/16 of the corpus) +
+    exact cosine verify. Oracle reproduces the identical plane
+    constants (similarity.near_dup_oracle_sql) → hash-exact."""
     from rotel_spark.operators.similarity import embedding_near_dup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_near_dup(emb, threshold=0.3, planes=2)
+    pairs = embedding_near_dup(emb, threshold=0.4, bands=8, band_bits=4)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("score"), 6).alias("score_r")
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "batch_sizing": q_batch_sizing,
         "attr_hash_routing": q_attr_hash_routing,
@@ -895,10 +929,70 @@ SELECT
   log_line AS Body
 FROM pages
 """,
-        # rows-only (engine-specific hashes / pandas-UDF kernels):
-        # minhash_dedup, simhash, simhash_pairs, embedding_near_dup,
-        # multimodal_features
+        "minhash_dedup": f"""
+WITH {_shingles_cte("documents", "doc_id", "text")},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b
+    ON a.id < b.id
+   AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
+  WHERE len(list_intersect(a.s, b.s))
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+)
+SELECT count(*) AS n_kept FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+""",
+        "ngram_jaccard": f"""
+WITH {_shingles_cte("documents", "doc_id", "text")},
+j AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.s, b.s))
+         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+  FROM sh a JOIN sh b
+    ON a.id < b.id
+   AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.8
+""",
+        "simhash": f"""
+WITH {simhash_oracle_ctes("documents", "doc_id", "text")}
+SELECT id AS doc_id, simhash FROM sims
+""",
+        "simhash_pairs": f"""
+WITH {simhash_oracle_ctes("documents", "doc_id", "text")}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b
+  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+        "embedding_near_dup": near_dup_oracle_sql(
+            "embeddings", "vec_id", "embedding",
+            threshold=0.4, bands=8, band_bits=4, dim=64,
+        ),
+        "multimodal_features": multimodal_oracle_sql(96),
     }
+
+
+def _shingles_cte(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of functions.text.shingles (word 3-shingles,
+    distinct) as a CTE `sh(id, s)`. The length-ratio prefilter used by
+    the pair queries (len*5 >= other*4 ⇔ min/max ≥ 0.8) is implied by
+    Jaccard ≥ 0.8 on distinct shingles, so it prunes without changing
+    results."""
+    words = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})),"
+        " '\\s+'), t -> t != '')"
+    )
+    return f"""
+_sh_words AS (SELECT {id_col} AS id, {words} AS w FROM {table}),
+sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)] END) AS s
+  FROM _sh_words)
+"""
 
 
 # --- helper SQL fragments for the nginx-error level severity (fmt=1) ------

@@ -246,14 +246,32 @@ def register_documents(
     df.createOrReplaceTempView("documents")
 
 
+def pages_cache_path(base: str, sf_dir: str, reps: int) -> str:
+    """Canonical path of a materialized pages table under `base`."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{base}/pages_{tag}_x{reps}"
+
+
 def load_pages(
     spark: SparkSession, sf_dir: str, reps: int = DEFAULT_REPS
 ) -> DataFrame:
     """The `pages` table as a DataFrame (no html column — see build_html).
 
+    If ROTEL_PAGES_CACHE_DIR is set and a materialized table for this
+    (sf, reps) exists there, read it instead of regenerating — the
+    bench uses this so per-query timings measure the operator, not
+    fixture generation (the cached table is a column superset).
+
     reps > 64 switches to the explode-based base (identical rows; the
     UNION-ALL chain overflows the analyzer stack at large reps) and
     pre-spreads documents across cores so generation parallelizes."""
+    import os
+
+    cache_base = os.environ.get("ROTEL_PAGES_CACHE_DIR")
+    if cache_base:
+        p = pages_cache_path(cache_base, sf_dir, reps)
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            return spark.read.parquet(p)
     fast = reps > 64
     register_documents(
         spark,

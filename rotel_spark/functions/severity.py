@@ -2,9 +2,11 @@
 
 Mirrors the reference's kmsg syslog-priority map
 (/root/reference/src/receivers/kmsg/parser.rs:155-166):
-Emergency/Alert/Critical→21 (FATAL), Error→17, Warning→13, Notice→10,
-Informational→9, Debug→5. The HTTP-status rule (5xx→ERROR, 4xx→WARN,
-else INFO) is an engine rule documented in FIXTURES.md §3.
+Emergency/Alert/Critical→21, Error→17, Warning→13, Notice→10,
+Informational→9, Debug→5 — with the per-priority text names of
+Priority::as_str (src/receivers/kmsg/convert.rs:175). The HTTP-status
+rule (5xx→ERROR, 4xx→WARN, else INFO) is an engine rule documented in
+FIXTURES.md §3.
 
 Everything here is a plain SQL CASE — JVM-side, codegen-friendly, and
 dialect-portable so the same text doubles as the DuckDB oracle.
@@ -28,13 +30,15 @@ LEVEL_MAP: dict[str, tuple[int, str]] = {
     "debug": (5, "DEBUG"),
 }
 
-# kmsg: priority & 7 → (number, text) — parser.rs:155-166
+# kmsg: priority & 7 → (number, text) — numbers per parser.rs:155-166,
+# text per Priority::as_str (src/receivers/kmsg/convert.rs:175): the
+# reference emits the full per-priority name, not the OTLP short name
 KMSG_PRIO_MAP: dict[int, tuple[int, str]] = {
-    0: (21, "FATAL"),
-    1: (21, "FATAL"),
-    2: (21, "FATAL"),
+    0: (21, "EMERGENCY"),
+    1: (21, "ALERT"),
+    2: (21, "CRITICAL"),
     3: (17, "ERROR"),
-    4: (13, "WARN"),
+    4: (13, "WARNING"),
     5: (10, "NOTICE"),
     6: (9, "INFO"),
     7: (5, "DEBUG"),

@@ -58,15 +58,20 @@ def minhash_signature(
     with_sh = df.withColumn(
         "_h0", F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
     )
+
     # seed-mix: xxhash64 of (seed, base_hash) stays 64-bit uniform and
-    # is one long-input hash instead of a string hash
+    # is one long-input hash instead of a string hash.
+    # NOTE the one-arg lambda factory: a two-arg lambda with a default
+    # (``lambda h, i=i: ...``) silently becomes transform's
+    # (element, index) form — the index column rebinds ``i`` and every
+    # "seed" collapses to the same function (caught by the minhash
+    # oracle: a 0.96-Jaccard pair shared 0/64 signature slots).
+    def _mix(seed: int):
+        return lambda h: F.xxhash64(F.lit(seed), h)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_h0"), lambda h, i=i: F.xxhash64(F.lit(i), h)
-                )
-            )
+            F.array_min(F.transform(F.col("_h0"), _mix(i)))
             for i in range(num_hashes)
         ]
     )
@@ -101,12 +106,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # multi-arg xxhash64 over the band's signature
+                        # slots — no per-band array-to-string
+                        # materialization
                         F.xxhash64(
-                            F.slice(
-                                F.col("minhash"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ).cast("string")
+                            *[
+                                F.element_at(
+                                    "minhash", b * rows_per_band + j + 1
+                                )
+                                for j in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -151,53 +160,113 @@ def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify_exact: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop the higher-id member of each near-dup pair (greedy)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    """Drop the higher-id member of each near-dup pair (greedy).
+
+    verify_exact=True re-checks LSH candidates with EXACT n-gram
+    Jaccard (ngram_jaccard_pairs) instead of the signature estimate —
+    slightly costlier per candidate but makes the survivor set
+    SQL-oracle-checkable: with enough bands the candidate set contains
+    every pair above the threshold (miss prob (1-J^r)^bands, ~4e-8 at
+    J=0.9 with 16×4), so survivors equal the exact-Jaccard rule.
+    """
+    if verify_exact:
+        thr = kwargs.pop("jaccard_threshold", 0.7)
+        pairs = ngram_jaccard_pairs(
+            df,
+            id_col,
+            text_col,
+            k=kwargs.pop("k", 3),
+            threshold=thr,
+            band_hashes=kwargs.pop("num_hashes", 64),
+            bands=kwargs.pop("bands", 16),
+        )
+    else:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add `simhash` (LONG): 64-bit SimHash over whitespace tokens.
+SIMHASH_BITS = 60
 
-    Arrow-batched pandas UDF, bit-parallel numpy inside — no per-row
-    Python objects beyond the token split.
+
+def simhash_votes_sql(col: str) -> str:
+    """Spark-SQL expression: per-bit majority-vote counters (array of
+    60 longs) for a SimHash over whitespace tokens.
+
+    Token hash = first 15 hex chars of md5 (60 bits — fits BIGINT in
+    both engines); votes via higher-order array functions. Pure JVM
+    expressions — codegen'd, no Python — and every primitive (md5,
+    substring, conv/hex-cast, shift, &) has an exact DuckDB twin
+    (simhash_oracle_sql), so the signature is oracle-checkable
+    bit-for-bit.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    toks = f"filter(split(lower(coalesce({col}, '')), '\\\\s+'), t -> t != '')"
+    hs = (
+        f"transform({toks},"
+        " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        f"aggregate({hs}, array_repeat(0L, {SIMHASH_BITS}),"
+        f" (acc, h) -> transform(sequence(0, {SIMHASH_BITS - 1}),"
+        " b -> acc[b] + if(((shiftright(h, b)) & 1L) = 1L, 1L, -1L)))"
+    )
 
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            hs = np.array(
-                [hash64(tok) for tok in toks], dtype=np.uint64
-            )
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-            ).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
 
-    def hash64(tok: str) -> int:
-        # FNV-1a 64-bit — deterministic across executors (Python's
-        # builtin hash() is salted per-process; never use it here)
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+def simhash_from_votes_sql(votes_col: str) -> str:
+    """Fold the vote array into the 60-bit signature. Kept separate
+    from simhash_votes_sql so the (expensive) vote aggregate is a
+    named column evaluated once, not inlined 60×."""
+    return (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}),"
+        f" b -> if(element_at({votes_col}, b + 1) > 0,"
+        " shiftleft(1L, b), 0L)), 0L, (a, x) -> a | x)"
+    )
 
-    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+def simhash_oracle_ctes(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of simhash_votes_sql/simhash_from_votes_sql as CTEs
+    (identical semantics, staged so md5 runs once per token):
+    produces a relation `sims(id, simhash)`."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(coalesce({text_col},"
+        " '')), '\\s+'), t -> t != '')"
+    )
+    hs = (
+        f"list_transform({toks}, t -> CAST(concat('0x',"
+        " substring(md5(t), 1, 15)) AS BIGINT))"
+    )
+    return f"""
+_sh_hs AS (
+  SELECT {id_col} AS id, {hs} AS h FROM {table}),
+_sh_votes AS (
+  SELECT id, list_transform(range(0, {SIMHASH_BITS}),
+    b -> list_sum(list_transform(h,
+      x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS v
+  FROM _sh_hs),
+sims AS (
+  SELECT id, CAST(coalesce(list_sum(list_transform(
+    range(0, {SIMHASH_BITS}),
+    b -> CASE WHEN coalesce(v[b + 1], 0) > 0
+         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT)
+    AS simhash
+  FROM _sh_votes)
+"""
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add `simhash` (LONG): 60-bit SimHash over whitespace tokens.
+
+    Expression-only (see simhash_votes_sql) — whole-stage-codegen'd
+    JVM work, no Python in the hot path, exact SQL-oracle parity.
+    """
+    return (
+        df.withColumn("_votes", F.expr(simhash_votes_sql(text_col)))
+        .withColumn("simhash", F.expr(simhash_from_votes_sql("_votes")))
+        .drop("_votes")
+    )
 
 
 def ngram_jaccard_pairs(

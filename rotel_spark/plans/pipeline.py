@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 Stage = Callable[[DataFrame], DataFrame]
 
@@ -74,17 +75,32 @@ def build_processor(spec: dict) -> Stage:
             df, spec["pattern"], spec.get("line_col", "raw_line")
         )
     if kind == "filter":
-        return lambda df: df.filter(spec["expr"])
+        # quarantined rows ride through later filters so they reach the
+        # quarantine sink in the same single pass (dead-letter rows are
+        # routed, not re-scanned)
+        def _filter(df: DataFrame) -> DataFrame:
+            if "_quarantine" in df.columns:
+                return df.filter(f"({spec['expr']}) OR _quarantine")
+            return df.filter(spec["expr"])
+
+        return _filter
     if kind == "quarantine":
         # dead-letter policy (SURVEY.md §2.8 nack): rows failing `expr`
-        # are written to a quarantine table instead of silently dropped;
-        # the stage returns only passing rows. The reference's options
-        # are panic or treat-as-ack (file/config.rs:83-86) — a
-        # dead-letter table is the documented batch equivalent.
+        # are TAGGED (not written inline — that would be a second scan
+        # of the source) and land in a dedicated quarantine sink during
+        # the same fan-out pass (run_job wires the sink). The
+        # reference's options are panic or treat-as-ack
+        # (file/config.rs:83-86) — a dead-letter table is the
+        # documented batch equivalent.
         def _quarantine(df: DataFrame) -> DataFrame:
-            bad = df.filter(f"NOT ({spec['expr']})")
-            bad.write.mode(spec.get("mode", "append")).parquet(spec["path"])
-            return df.filter(spec["expr"])
+            prev = (
+                F.col("_quarantine")
+                if "_quarantine" in df.columns
+                else F.lit(False)
+            )
+            return df.withColumn(
+                "_quarantine", prev | ~F.expr(spec["expr"])
+            )
 
         return _quarantine
     if kind == "sample":
@@ -154,15 +170,62 @@ def run_job(
             df = resume_filter(df, cp, key=config.get("lineage_key", "page_id"))
 
     out = build_pipeline(config).run(df)
-    counts = fan_out(
-        out,
-        config["sinks"],
-        max_records_per_file=config.get("batch", {}).get(
-            "max_records_per_file", 8192
-        ),
-    )
-    if config.get("lineage_path"):
-        write_lineage(
-            out, config["lineage_path"], run_id=run_id, sink_counts=counts
+
+    # quarantine sink: tagged rows fan out to their own sink in the
+    # same pass; regular sinks exclude them
+    sinks = list(config["sinks"])
+    q_specs = [
+        s
+        for s in config.get("processors", [])
+        if s["kind"] == "quarantine"
+    ]
+    if q_specs and "_quarantine" in out.columns:
+        sinks = [
+            {
+                **s,
+                "predicate": (
+                    f"({s['predicate']}) AND NOT _quarantine"
+                    if s.get("predicate")
+                    else "NOT _quarantine"
+                ),
+            }
+            for s in sinks
+        ]
+        sinks.append(
+            {
+                "name": "_quarantine",
+                "path": q_specs[0]["path"],
+                "predicate": "_quarantine",
+                "mode": q_specs[0].get("mode", "append"),
+            }
         )
+
+    # persist through BOTH fan-out and lineage: the committed ranges
+    # must come from the same materialized partitions that fed the sink
+    # writes (a re-execution could lay out spark_partition_id
+    # differently and commit ranges for rows never written — breaking
+    # the exactly-once resume contract), and lineage must not re-run
+    # the parse DAG
+    need_lineage = bool(config.get("lineage_path"))
+    if need_lineage:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = fan_out(
+            out,
+            sinks,
+            max_records_per_file=config.get("batch", {}).get(
+                "max_records_per_file", 8192
+            ),
+            persist=not need_lineage,
+        )
+        if need_lineage:
+            write_lineage(
+                out,
+                config["lineage_path"],
+                run_id=run_id,
+                sink_counts=counts,
+            )
+    finally:
+        if need_lineage:
+            out.unpersist()
     return counts

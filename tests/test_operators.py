@@ -174,7 +174,12 @@ def test_minhash_finds_near_dups(spark):
     df = spark.createDataFrame(
         [(0, base), (1, near), (2, other)], "doc_id long, text string"
     )
-    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()
+    # J(base, near) ≈ 0.57 on distinct 3-shingles: 2-row bands give
+    # band-match prob 0.57² → miss prob (1-0.32)^16 ≈ 0.002; 4-row
+    # bands would be a coin flip at this similarity level
+    pairs = minhash_lsh_pairs(
+        df, jaccard_threshold=0.3, num_hashes=32, bands=16
+    ).collect()
     keys = {(p.id_a, p.id_b) for p in pairs}
     assert (0, 1) in keys
     assert (0, 2) not in keys and (1, 2) not in keys

@@ -58,19 +58,25 @@ def test_debug_inspector_counters(spark, sf_unit):
 
 
 def test_quarantine_stage(spark, sf_unit, tmp_path):
-    from rotel_spark.plans.pipeline import build_pipeline
+    """Dead-letter rows are tagged in-flight and land in their own sink
+    during the same fan-out pass (no second source scan)."""
+    from rotel_spark.plans.pipeline import run_job
 
-    pages = extract_log_line(load_pages_full(spark, sf_unit, reps=2))
     qpath = str(tmp_path / "dead_letter")
     cfg = {
+        "source": {"kind": "pages_synthetic", "sf_dir": sf_unit, "reps": 2},
         "processors": [
             {"kind": "parse_auto"},
             {"kind": "quarantine", "expr": "parse_ok", "path": qpath},
-        ]
+        ],
+        "sinks": [{"name": "good", "path": str(tmp_path / "good")}],
     }
-    out = build_pipeline(cfg).run(pages)
-    kept = out.count()
+    counts = run_job(spark, cfg)
     dead = spark.read.parquet(qpath)
-    assert dead.count() == pages.count() - kept
+    good = spark.read.parquet(str(tmp_path / "good"))
+    total = extract_log_line(load_pages_full(spark, sf_unit, reps=2)).count()
+    assert counts["_quarantine"] == dead.count()
+    assert dead.count() + good.count() == total
     assert dead.filter("parse_ok").count() == 0
+    assert good.filter("NOT parse_ok").count() == 0
     assert dead.count() > 0  # garbage rows exist by construction
