@@ -601,6 +601,174 @@ def q_clickhouse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traces pipeline: events → span rows (payload.rs Traces branch),
+    per-trace rollup. Oracle derives ids/durations by arithmetic."""
+    from rotel_spark.telemetry import events_to_spans
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = events_to_spans(events)
+    return spans.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+        F.sum(
+            F.when(F.col("parent_span_id") == "", 1).otherwise(0)
+        ).alias("n_roots"),
+        F.max(
+            F.col("end_time_unix_nano") - F.col("start_time_unix_nano")
+        ).alias("max_dur_ns"),
+        F.min("start_time_unix_nano").alias("first_start_ns"),
+    )
+
+
+def q_span_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResourceSpans tree shape: spans nest under their service
+    resource (chunked at 8192 leaves, batch_resources.rs:126-130),
+    then explode back — per-service leaf counts survive the round
+    trip; n_batches follows the ceil rule."""
+    from rotel_spark.telemetry import events_to_spans, spans_to_resource_tree
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = events_to_spans(events)
+    tree = spans_to_resource_tree(spans, max_spans_per_resource=512)
+    flat = tree.select(
+        "service_name", F.explode("spans").alias("s")
+    )
+    return flat.groupBy("service_name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("s.trace_id").alias("n_traces"),
+    ).join(
+        tree.groupBy("service_name").agg(
+            F.count(F.lit(1)).alias("n_batches")
+        ),
+        "service_name",
+    )
+
+
+def q_emf_metrics_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics pipeline: events → datapoints → EMF grouping by
+    (namespace, dimension set, timestamp) (awsemf/transformer.rs:46-75)
+    on a real metric row shape."""
+    from rotel_spark.telemetry import emf_group_datapoints, events_to_datapoints
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return emf_group_datapoints(events_to_datapoints(events))
+
+
+def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed AnyValue coercion + nested-kvlist dotted flatten
+    (cvattr.rs:30-42; clickhouse transformer.rs:50-131): nested JSON
+    attrs → (dotted key, vtype, coerced value) entries, depth-bounded
+    at 3 (deeper kvlists stringify). The oracle derives every entry
+    arithmetically — int stays int-rendered, double JSON repr, bool →
+    'true', array/deep-map → compact JSON, null skipped."""
+    from rotel_spark.functions.anyvalue import flatten_typed_attrs
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    nested = F.concat(
+        F.lit('{"http":{"status":'),
+        k.cast("string"),
+        F.lit(
+            ',"ratio":0.25},"tags":["a","b"],"ok":true,"svc":"web",'
+            '"deep":{"l1":{"l2":{"l3":7}}},"skipme":null}'
+        ),
+    )
+    df = flatten_typed_attrs(
+        events.withColumn("_attrs_json", nested),
+        "_attrs_json",
+        max_depth=3,
+    )
+    return (
+        df.select(F.explode("attr_entries").alias("e"))
+        .groupBy(
+            F.col("e.key").alias("key"),
+            F.col("e.vtype").alias("vtype"),
+            F.col("e.value").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_typed_attrs_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON attrs through coercion+flatten INTO the ClickHouse
+    LogRecordRow map column, exploded back out for oracle compare —
+    the full sink integration path (transformer.rs → schema.rs)."""
+    from rotel_spark.functions.anyvalue import (
+        flatten_typed_attrs,
+        typed_attrs_map,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    nested = F.concat(
+        F.lit('{"evt":{"kind":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        k.cast("string"),
+        F.lit("}}"),
+    )
+    df = flatten_typed_attrs(
+        events.withColumn("_attrs_json", nested), "_attrs_json"
+    )
+    rows = df.select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("Timestamp"),
+        typed_attrs_map(F.col("attr_entries")).alias("LogAttributes"),
+    )
+    return rows.select(
+        "Timestamp", F.explode("LogAttributes").alias("key", "value")
+    )
+
+
+def q_retry_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exporter retry classes over parsed HTTP statuses
+    (retry.rs:127-143: 200-202 success, 408/429/5xx retryable, rest
+    permanent) — drives the retryable→retry-table vs permanent→dead-
+    letter split."""
+    from rotel_spark.sinks.retry import classify_http_expr
+
+    df = _parsed(spark, sf_dir)
+    return (
+        df.filter(F.col("status").isNotNull())
+        .groupBy(
+            classify_http_expr(F.col("status")).alias("retry_class")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_otlp_request_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP exporter byte-boundary parity: rows → ResourceLogs tree →
+    ExportLogsServiceRequest proto-JSON (payload.rs:680-686) → decoded
+    BACK out of the JSON text; leaf counts and chunking follow the
+    8192-batch ceil rule (here 2048 for a multi-chunk shape)."""
+    from rotel_spark.sinks.otlp_shape import (
+        to_export_request_json,
+        to_resource_logs_tree,
+    )
+
+    df = drop_unparsed(_parsed(spark, sf_dir))
+    df = upsert_resource_attributes(df, {"service.name": "web-crawl"})
+    tree = to_resource_logs_tree(df, max_records_per_resource=2048)
+    req = to_export_request_json(tree).select("request_json")
+    schema = (
+        "STRUCT<resourceLogs: ARRAY<STRUCT<scopeLogs: ARRAY<STRUCT<"
+        "logRecords: ARRAY<STRUCT<severityNumber: INT>>>>>>>"
+    )
+    decoded = req.select(
+        F.from_json("request_json", schema).alias("r")
+    )
+    return decoded.select(
+        F.lit(1).alias("n_requests"),
+        F.size("r.resourceLogs").alias("n_resource_logs"),
+        F.expr(
+            "aggregate(r.resourceLogs, 0L, (acc, rl) -> acc +"
+            " aggregate(rl.scopeLogs, 0L, (a2, s) ->"
+            " a2 + size(s.logRecords)))"
+        ).alias("n_log_records"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -642,6 +810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "clickhouse_rows": q_clickhouse_rows,
+        "span_rollup": q_span_rollup,
+        "span_tree_roundtrip": q_span_tree_roundtrip,
+        "emf_metrics_grouping": q_emf_metrics_grouping,
+        "typed_attrs": q_typed_attrs,
+        "typed_attrs_clickhouse": q_typed_attrs_clickhouse,
+        "retry_classification": q_retry_classification,
+        "otlp_request_roundtrip": q_otlp_request_roundtrip,
     }
 
 
@@ -651,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from rotel_spark.sinks.retry import classify_http_sql
+
+    retry_class_sql = classify_http_sql("status")
     sev_n = status_severity_number_sql("status")
     sev_t = status_severity_text_sql("status")
     dompart = domain_partition_sql("domain")
@@ -971,7 +1149,85 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
             threshold=0.4, bands=8, band_bits=4, dim=64,
         ),
         "multimodal_features": multimodal_oracle_sql(96),
+        "span_rollup": f"""
+WITH {_SPANS_CTE}
+SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(sum(is_root) AS BIGINT) AS n_roots,
+       max(dur_ns) AS max_dur_ns,
+       min(start_ns) AS first_start_ns
+FROM sp GROUP BY 1
+""",
+        "span_tree_roundtrip": f"""
+WITH {_SPANS_CTE}
+SELECT service_name, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces,
+       CAST(ceil(count(*) / 512.0) AS BIGINT) AS n_batches
+FROM sp GROUP BY 1
+""",
+        "emf_metrics_grouping": """
+WITH dp AS (
+  SELECT 'events.' || event_type || '.value' AS metric_name,
+         'rotel/events' AS namespace,
+         'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000
+           AS ts_minute_nano,
+         value
+  FROM events)
+SELECT namespace, service, event_type, ts_minute_nano,
+       CAST(count(*) AS BIGINT) AS n_datapoints,
+       CAST(count(DISTINCT metric_name) AS BIGINT) AS n_metrics,
+       round(sum(value), 6) AS sum_value_r,
+       round(max(value), 6) AS max_value_r
+FROM dp GROUP BY 1, 2, 3, 4
+""",
+        "typed_attrs": """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+             AS kv FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+SELECT 'http.status' AS key, 'int' AS vtype,
+       CAST(kv AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS n
+FROM k GROUP BY 3
+UNION ALL SELECT 'http.ratio', 'double', '0.25', n FROM tot
+UNION ALL SELECT 'tags', 'string', '["a","b"]', n FROM tot
+UNION ALL SELECT 'ok', 'string', 'true', n FROM tot
+UNION ALL SELECT 'svc', 'string', 'web', n FROM tot
+UNION ALL SELECT 'deep.l1.l2', 'string', '{"l3":7}', n FROM tot
+""",
+        "typed_attrs_clickhouse": """
+WITH e AS (SELECT epoch_us(ts) * 1000 AS t, event_type,
+                  json_extract_string(props, '$.k') AS kv FROM events)
+SELECT t AS Timestamp, 'evt.kind' AS key, event_type AS value FROM e
+UNION ALL SELECT t, 'evt.k', kv FROM e
+""",
+        "retry_classification": f"""
+WITH {PAGES}
+SELECT {retry_class_sql} AS retry_class, count(*) AS n
+FROM pages WHERE fmt IN (0, 2) GROUP BY 1
+""",
+        "otlp_request_roundtrip": f"""
+WITH {PAGES}
+SELECT 1 AS n_requests,
+       CAST(ceil(count(*) / 2048.0) AS INT) AS n_resource_logs,
+       count(*) AS n_log_records
+FROM pages WHERE fmt <> 9
+""",
     }
+
+
+# spans derivation twin of telemetry.events_to_spans (independent:
+# DuckDB epoch_us vs Spark unix_micros, same md5/arithmetic rules)
+_SPANS_CTE = """sp AS (
+  SELECT md5(CAST(event_id - event_id % 4 AS VARCHAR)) AS trace_id,
+         CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+         CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS is_root,
+         CAST(floor(value * 1000000) AS BIGINT) * 1000 AS dur_ns,
+         epoch_us(ts) * 1000 AS start_ns,
+         'svc-' || CAST(user_id % 4 AS VARCHAR) AS service_name
+  FROM events)
+"""
 
 
 def _shingles_cte(table: str, id_col: str, text_col: str) -> str:

@@ -31,30 +31,58 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_REPS = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
 
 
-def run_pipeline_bench(spark, sf_dir: str, reps: int, out_dir: str) -> dict:
+def run_pipeline_bench(
+    spark,
+    sf_dir: str,
+    reps: int,
+    out_dir: str,
+    partitions: int = 256,
+    mrpf: int = 65536,
+    sink: str = "parquet",
+    salt: int | None = None,
+) -> dict:
     """Timed path: scan stored pages table → extract log line from html
-    → multi-format parse → route → fan-out writes. Table generation is
-    untimed data-prep (materialized once per sf×reps, like TESTDATA)."""
-    from rotel_spark.fixtures import extract_log_line, materialize_pages
+    → multi-format parse → broadcast enrich → route → fan-out writes.
+    Table generation is untimed data-prep (materialized once per
+    sf×reps, like TESTDATA). sink='noop' skips the write (used by the
+    scaling diagnostics to split compute from I/O)."""
+    from rotel_spark.fixtures import (
+        extract_log_line,
+        materialize_pages,
+        tld_registry_sql,
+    )
+    from rotel_spark.functions.urls import tld_of
     from rotel_spark.operators.filters import drop_unparsed
     from rotel_spark.parsers.auto import parse_auto
     from rotel_spark.plans.routing import with_route
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # 64 files ≈ block-sized splits locally — a 100 TB Iceberg table has
-    # natural file-level parallelism; a single fat parquet file caps the
-    # scan at maxPartitionBytes granularity (measured: 1 file → ~2 tasks
-    # → 8 cores tie 32 cores)
-    table = f"/tmp/rotel_pages_{tag}_x{reps}_p64"
-    pages = materialize_pages(spark, sf_dir, reps, table, partitions=64)
+    # 256 files: a 100 TB Iceberg table has file-level parallelism far
+    # beyond core count; locally, 64 files = only 2 task waves at 32
+    # cores and stragglers cap scaling (measured: p64→p256 = +37%
+    # throughput at 32c), while p256 still gives 8-row waves at 8 cores
+    table = f"/tmp/rotel_pages_{tag}_x{reps}_p{partitions}"
+    pages = materialize_pages(
+        spark, sf_dir, reps, table, partitions=partitions
+    )
+    tld_lookup = F.broadcast(
+        spark.sql(tld_registry_sql()).withColumnRenamed("tld", "reg_tld")
+    )
 
     def pipeline():
         df = extract_log_line(pages)
         parsed = with_route(drop_unparsed(parse_auto(df)))
-        return parsed.select(
+        # broadcast enrichment rides the same pass (north star: parse →
+        # enrich → route; Datadog mapping-table analog) — map-side hash
+        # join, no shuffle
+        enriched = parsed.withColumn("xtld", tld_of(F.col("url"))).join(
+            tld_lookup, F.col("xtld") == F.col("reg_tld"), "left"
+        )
+        return enriched.select(
             "page_id", "url", "domain", "body", "log_source", "status",
             "severity_number", "severity_text", "time_unix_nano", "route",
-            "domain_partition", F.length("html").alias("html_bytes"),
+            "domain_partition", "tld_type", "region",
+            F.length("html").alias("html_bytes"),
         )
 
     from rotel_spark.sinks.writer import write_routed
@@ -62,22 +90,49 @@ def run_pipeline_bench(spark, sf_dir: str, reps: int, out_dir: str) -> dict:
     # 64k records/file for the throughput measurement — the 8192 batch
     # semantic stays the pipeline default (count parity is on per-sink
     # totals, not batch shapes; SURVEY.md §2.4), but 8192 at 1M+ rows
-    # means hundreds of files whose serial commit dominates wall time
-    mrpf = 65536
+    # means hundreds of files whose commit overhead dominates wall time
+    def run_once(path: str) -> dict[str, int]:
+        if sink == "noop":
+            from pyspark.sql.observation import Observation
+
+            obs = Observation(f"noop:{path}")
+            routes = ["errors", "ops", "archive"]
+            df = pipeline().observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(F.col("route") == r, 1).otherwise(0)
+                    ).alias(r)
+                    for r in routes
+                ],
+            )
+            df.write.format("noop").mode("overwrite").save()
+            return {r: obs.get[r] or 0 for r in routes}
+        # salt=None by default: a salted repartition before the write
+        # bounds output file count but shuffles every (wide) row —
+        # measured 2× slower end-to-end than writing scan-aligned
+        # partitions with concurrent writers. Opt in for genuinely
+        # skewed routes.
+        return write_routed(
+            pipeline(), path, max_records_per_file=mrpf,
+            salt_partitions=salt,
+        )
+
     # warm-up (JIT/codegen/page-cache), discarded per BASELINE.md protocol
-    write_routed(pipeline(), f"{out_dir}/warmup", max_records_per_file=mrpf)
+    run_once(f"{out_dir}/warmup")
     t0 = time.time()
-    counts = write_routed(
-        pipeline(), f"{out_dir}/routed", max_records_per_file=mrpf
-    )
+    counts = run_once(f"{out_dir}/routed")
     elapsed = time.time() - t0
     n_routed = sum(counts.values())
-    total_bytes = (
-        spark.read.parquet(f"{out_dir}/routed")
-        .agg(F.sum("html_bytes"))
-        .collect()[0][0]
-        or 0
-    )
+    if sink == "noop":
+        total_bytes = 0
+    else:
+        total_bytes = (
+            spark.read.parquet(f"{out_dir}/routed")
+            .agg(F.sum("html_bytes"))
+            .collect()[0][0]
+            or 0
+        )
     return {
         "sec": elapsed,
         "records": n_routed,

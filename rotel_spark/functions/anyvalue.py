@@ -1,0 +1,119 @@
+"""Typed AnyValue coercion + nested-kvlist dotted-key flatten.
+
+Mirrors the reference's canonical attribute handling:
+  * scalar coercion — /root/reference/src/otlp/cvattr.rs:30-42:
+    Int stays i64 (rendered without a decimal point), Double f64
+    (JSON repr), Bool → "true"/"false" string, Bytes → hex string,
+    Array/Kvlist → compact JSON string.
+  * nested kvlist flatten — /root/reference/src/exporters/clickhouse/
+    transformer.rs:50-131: nested maps flatten to dotted keys
+    ("http.status"), depth-bounded (deeper maps stringify as JSON,
+    nested_kv_max_depth analog).
+
+Spark mapping: attributes arrive as JSON strings (open schema — the
+one case where from_json's fixed schema can't help, since value types
+vary per key). An Arrow-batched pandas UDF parses + flattens each
+batch; output is array<struct<key,vtype,value>> — explode for rows or
+map_from_entries for a MAP column feeding the ClickHouse row shape.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ATTR_ENTRY = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("vtype", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def coerce_scalar(v) -> tuple[str, str] | None:
+    """(vtype, rendered string) per cvattr.rs:30-42 + Display rules.
+    None/null attributes are skipped (reference pushes nothing)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return ("string", "true" if v else "false")
+    if isinstance(v, int):
+        return ("int", str(v))
+    if isinstance(v, float):
+        return ("double", json.dumps(v))
+    if isinstance(v, str):
+        return ("string", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("string", bytes(v).hex())
+    if isinstance(v, (list, dict)):
+        return ("string", json.dumps(v, separators=(",", ":")))
+    return ("string", str(v))
+
+
+def flatten_attrs_obj(
+    obj: dict, max_depth: int = 10
+) -> list[tuple[str, str, str]]:
+    """Flatten one parsed JSON object to [(dotted_key, vtype, value)].
+
+    Dicts recurse with dotted keys while depth < max_depth; at the
+    bound a dict coerces like any other composite (JSON string) —
+    transformer.rs's nested_kv_max_depth behavior.
+    """
+    out: list[tuple[str, str, str]] = []
+
+    def walk(d: dict, prefix: str, depth: int) -> None:
+        for k, v in d.items():
+            full = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) and depth < max_depth:
+                walk(v, full, depth + 1)
+                continue
+            c = coerce_scalar(v)
+            if c is not None:
+                out.append((full, c[0], c[1]))
+
+    walk(obj, "", 1)
+    return out
+
+
+def flatten_typed_attrs(
+    df: DataFrame,
+    json_col: str,
+    out_col: str = "attr_entries",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Add array<struct<key,vtype,value>> parsed+flattened from a JSON
+    attribute column (Arrow-batched; unparseable/non-object JSON →
+    empty array, parse errors are data, never fatal)."""
+
+    @F.pandas_udf(T.ArrayType(ATTR_ENTRY))
+    def _flatten(col: pd.Series) -> pd.Series:
+        out = []
+        for s in col:
+            try:
+                obj = json.loads(s) if s else {}
+            except (ValueError, TypeError):
+                obj = {}
+            if not isinstance(obj, dict):
+                obj = {}
+            out.append(
+                [
+                    {"key": k, "vtype": t, "value": v}
+                    for k, t, v in flatten_attrs_obj(obj, max_depth)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _flatten(F.col(json_col)))
+
+
+def typed_attrs_map(entries: Column) -> Column:
+    """array<struct> → MAP<STRING,STRING> of coerced values — the
+    shape the ClickHouse LogRecordRow stores (MapOrJson::Map)."""
+    return F.map_from_entries(
+        F.transform(entries, lambda e: F.struct(e["key"], e["value"]))
+    )

@@ -1,22 +1,51 @@
-"""RedactionProcessor — mask attribute values by key/value patterns.
+"""RedactionProcessor — full config surface of the reference SDK's
+redaction_processor.py (rotel_python_processor_sdk/processors/
+redaction_processor.py:14-56 config, :160-270 processing order):
 
-Mirrors the reference SDK's redaction_processor.py:1-80 semantics:
-  * allowed_keys: keys to leave untouched even if they match
-  * blocked key patterns: matching keys → value masked
-  * blocked value patterns: matching values → masked
-  * mask = '[REDACTED]' or sha256 of the value (hash_function='sha256')
-  * summary attributes: redaction counts appended to the map
-All via transform_values / map_filter — JVM-side.
+  * allow_all_keys=False → keys outside allowed_keys ∪ ignored_keys
+    are DELETED (phase 1, :176-196)
+  * blocked_key_patterns → matching keys' values masked (phase 2)
+  * blocked_values → matching string values masked unless an
+    allowed_values pattern also matches (phase 3, :229-252)
+  * ignored_keys are never deleted or masked (doc contract :24-26 —
+    "always ignored ... overriding any blocking rules"; the SDK sample
+    code omits the mask-phase check, we follow the documented rule)
+  * mask = '[REDACTED]' or hexdigest(hash_function) (:108-118)
+  * summary levels silent|info|debug (:45-50, :120-155): info appends
+    redaction.<ctx>.{redacted,masked,allowed,ignored}_keys.count
+    entries to the map (zero-count entries omitted), debug adds
+    .names lists (sorted, comma-joined) except for ignored (Go parity)
+  * log-body redaction: blocked/allowed value patterns applied to the
+    body string (:309-390)
+
+All map_filter / transform_values / map_concat expressions — JVM-side,
+no Python in the row path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .resource import ensure_map_col
 
 MASK = "[REDACTED]"
+_MAP = "map<string,string>"
+
+
+def _any_rlike(c: Column, patterns: list[str]) -> Column:
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | c.rlike(p)
+    return cond
+
+
+def _mask_value(v: Column, hash_function: str | None) -> Column:
+    if hash_function == "sha256":
+        return F.sha2(v, 256)
+    if hash_function == "md5":
+        return F.md5(v)
+    return F.lit(MASK)
 
 
 def redact(
@@ -25,41 +54,135 @@ def redact(
     blocked_key_patterns: list[str] | None = None,
     blocked_value_patterns: list[str] | None = None,
     allowed_keys: list[str] | None = None,
+    allowed_value_patterns: list[str] | None = None,
+    ignored_keys: list[str] | None = None,
+    allow_all_keys: bool = True,
     hash_function: str | None = None,
-    summary: bool = True,
+    summary: str | bool = True,
+    summary_context: str = "log",
+    body_col: str | None = None,
 ) -> DataFrame:
+    """Apply the full redaction pipeline to a MAP<STRING,STRING> column.
+
+    summary: True/'info' → counts; 'debug' → counts + key-name lists;
+    False/'silent' → none. Summary entries are appended INTO the map
+    (the reference records them as attributes) AND a `redacted_count`
+    top-level column is kept for pipeline counters."""
     df = ensure_map_col(df, col)
-    attrs = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
+    attrs = F.coalesce(F.col(col), F.create_map().cast(_MAP))
     kp = blocked_key_patterns or []
     vp = blocked_value_patterns or []
+    avp = allowed_value_patterns or []
     allow = allowed_keys or []
+    ignored = ignored_keys or []
+    level = {True: "info", False: "silent"}.get(summary, summary)
 
-    def is_blocked(k, v):
-        cond = F.lit(False)
-        for p in kp:
-            cond = cond | k.rlike(p)
-        for p in vp:
-            cond = cond | v.rlike(p)
-        if allow:
-            cond = cond & ~k.isin(allow)
-        return cond
+    def is_ignored(k: Column) -> Column:
+        return k.isin(ignored) if ignored else F.lit(False)
 
-    def mask(v):
-        if hash_function == "sha256":
-            return F.sha2(v, 256)
-        return F.lit(MASK)
+    def is_deleted(k: Column) -> Column:
+        if allow_all_keys:
+            return F.lit(False)
+        kept = k.isin(allow) if allow else F.lit(False)
+        return ~kept & ~is_ignored(k)
 
-    redacted = F.transform_values(
-        attrs, lambda k, v: F.when(is_blocked(k, v), mask(v)).otherwise(v)
-    )
-    out = df
-    if summary:
-        # count BEFORE masking — the count column must see original values
-        n = F.size(
-            F.filter(
-                F.map_entries(attrs),
-                lambda e: is_blocked(e["key"], e["value"]),
-            )
+    def key_blocked(k: Column) -> Column:
+        return _any_rlike(k, kp) & ~is_ignored(k)
+
+    def value_blocked(v: Column) -> Column:
+        blocked = _any_rlike(v, vp)
+        if avp:
+            blocked = blocked & ~_any_rlike(v, avp)
+        return blocked
+
+    def is_masked(k: Column, v: Column) -> Column:
+        return ~is_ignored(k) & ~is_deleted(k) & (
+            key_blocked(k) | value_blocked(v)
         )
-        out = out.withColumn("redacted_count", n)
-    return out.withColumn(col, redacted)
+
+    kept = F.map_filter(attrs, lambda k, v: ~is_deleted(k))
+    masked_map = F.transform_values(
+        kept,
+        lambda k, v: F.when(
+            is_masked(k, v), _mask_value(v, hash_function)
+        ).otherwise(v),
+    )
+
+    entries = F.map_entries(attrs)
+
+    def count_where(pred) -> Column:
+        return F.size(F.filter(entries, pred))
+
+    n_deleted = count_where(lambda e: is_deleted(e["key"]))
+    n_masked = count_where(lambda e: is_masked(e["key"], e["value"]))
+    n_ignored = count_where(lambda e: is_ignored(e["key"]))
+    if allow_all_keys:
+        n_allowed = count_where(lambda e: ~is_ignored(e["key"]))
+    else:
+        n_allowed = count_where(
+            lambda e: (e["key"].isin(allow) if allow else F.lit(False))
+            & ~is_ignored(e["key"])
+        )
+
+    out_map = masked_map
+    if level in ("info", "debug"):
+        ctx = summary_context
+        meta = [
+            (f"redaction.{ctx}.redacted_keys", n_deleted, is_deleted),
+            (
+                f"redaction.{ctx}.masked_keys",
+                n_masked,
+                None,  # names pred below needs both k and v
+            ),
+            (f"redaction.{ctx}.allowed_keys", n_allowed, None),
+            (f"redaction.{ctx}.ignored_keys", n_ignored, None),
+        ]
+        pairs: list[Column] = []
+        for name, cnt, _ in meta:
+            pairs += [F.lit(f"{name}.count"), cnt.cast("string")]
+        if level == "debug":
+
+            def names_where(pred) -> Column:
+                return F.array_join(
+                    F.array_sort(
+                        F.transform(F.filter(entries, pred), lambda e: e["key"])
+                    ),
+                    ",",
+                )
+
+            pairs += [
+                F.lit(f"redaction.{ctx}.redacted_keys.names"),
+                names_where(lambda e: is_deleted(e["key"])),
+                F.lit(f"redaction.{ctx}.masked_keys.names"),
+                names_where(lambda e: is_masked(e["key"], e["value"])),
+                F.lit(f"redaction.{ctx}.allowed_keys.names"),
+                names_where(
+                    lambda e: (
+                        ~is_ignored(e["key"])
+                        if allow_all_keys
+                        else (
+                            e["key"].isin(allow) if allow else F.lit(False)
+                        )
+                        & ~is_ignored(e["key"])
+                    )
+                ),
+                # no .names for ignored_keys (Go parity, :263-265)
+            ]
+        summary_map = F.map_filter(
+            F.create_map(*pairs), lambda k, v: (v != "0") & (v != "")
+        )
+        out_map = F.map_concat(out_map, summary_map)
+
+    out = df.withColumn("redacted_count", n_masked + n_deleted).withColumn(
+        col, out_map
+    )
+    if body_col and (vp or avp):
+        body = F.col(body_col)
+        out = out.withColumn(
+            body_col,
+            F.when(
+                body.isNotNull() & value_blocked(body),
+                _mask_value(body, hash_function),
+            ).otherwise(body),
+        )
+    return out

@@ -5,7 +5,9 @@ Column set and order fixed by the reference's
 schema.rs:91-141); the parquet exporter emits the identical 15 columns
 (src/exporters/file/parquet/log.rs:13-31). Severity is truncated to
 u8 (transform_logs.rs:70-71); service_name comes from the resource
-attr `service.name` with '' default (transform_logs.rs:29).
+attr `service.name` with '' default (transform_logs.rs:29). The
+optional 16th column EventName (schema.rs:119-141,
+`with_event_name`) is opt-in here the same way.
 """
 
 from __future__ import annotations
@@ -61,14 +63,25 @@ LOG_RECORD_SCHEMA = T.StructType(
 _EMPTY_MAP = "map<string,string>"
 
 
-def to_log_record_row(df: DataFrame) -> DataFrame:
-    """Normalize a parsed frame into the exact 15-column LogRecordRow.
+def log_record_columns(with_event_name: bool = False) -> list[str]:
+    """get_log_row_col_keys twin (schema.rs:119-141)."""
+    return LOG_RECORD_COLUMNS + (
+        ["EventName"] if with_event_name else []
+    )
+
+
+def to_log_record_row(
+    df: DataFrame, with_event_name: bool = False
+) -> DataFrame:
+    """Normalize a parsed frame into the exact LogRecordRow (15
+    columns; 16 with the opt-in EventName, schema.rs:119-141).
 
     Mapping rules from transform_logs.rs:12-106:
       * Timestamp = time_unix_nano
       * ServiceName = resource_attributes['service.name'] else ''
       * SeverityNumber truncated to u8 range
       * missing trace/scope fields default to ''/empty maps
+      * EventName = log record event_name, '' default
     """
     cols = set(df.columns)
 
@@ -106,5 +119,14 @@ def to_log_record_row(df: DataFrame) -> DataFrame:
         empty_map.alias("ScopeAttributes"),
         F.coalesce(col_or("log_attributes", empty_map), empty_map).alias(
             "LogAttributes"
+        ),
+        *(
+            [
+                F.coalesce(col_or("event_name", F.lit("")), F.lit("")).alias(
+                    "EventName"
+                )
+            ]
+            if with_event_name
+            else []
         ),
     )

@@ -66,6 +66,73 @@ def to_resource_logs_tree(
     )
 
 
+def _kv_list(m) -> "F.Column":
+    """MAP<STRING,STRING> → proto-JSON KeyValue list:
+    [{"key": k, "value": {"stringValue": v}}]."""
+    return F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.struct(e["value"].alias("stringValue")).alias("value"),
+        ),
+    )
+
+
+def to_export_request_json(
+    tree: DataFrame,
+    resource_col: str = "resource_attributes",
+    one_request: bool = True,
+) -> DataFrame:
+    """ResourceLogs tree rows → ExportLogsServiceRequest proto-JSON.
+
+    The reference flat-maps the payload batch into ONE request
+    (payload.rs:680-686) and OTLP/HTTP accepts the canonical proto3
+    JSON mapping (otlp_http.rs handles application/json): uint64
+    nanos encode as strings, AnyValue as {"stringValue": ...},
+    attribute maps as KeyValue lists. one_request=False emits one
+    request per ResourceLogs row (useful for per-resource routing,
+    e.g. the Kafka split rule, exporter.rs:363-397).
+
+    Output column: `request_json` (plus `n_records` bookkeeping).
+    """
+    recs = F.transform(
+        F.col("log_records"),
+        lambda r: F.struct(
+            r["time_unix_nano"].cast("string").alias("timeUnixNano"),
+            r["severity_number"].alias("severityNumber"),
+            r["severity_text"].alias("severityText"),
+            F.struct(r["body"].alias("stringValue")).alias("body"),
+        ),
+    )
+    resource_logs = F.struct(
+        F.struct(_kv_list(F.col(resource_col)).alias("attributes")).alias(
+            "resource"
+        ),
+        F.array(
+            F.struct(
+                F.struct(F.lit("rotel_spark").alias("name")).alias("scope"),
+                recs.alias("logRecords"),
+            )
+        ).alias("scopeLogs"),
+    )
+    rows = tree.select(
+        resource_logs.alias("_rl"), F.size("log_records").alias("n_records")
+    )
+    if not one_request:
+        return rows.select(
+            F.to_json(F.struct(F.array("_rl").alias("resourceLogs"))).alias(
+                "request_json"
+            ),
+            "n_records",
+        )
+    return rows.agg(
+        F.to_json(
+            F.struct(F.collect_list("_rl").alias("resourceLogs"))
+        ).alias("request_json"),
+        F.sum("n_records").alias("n_records"),
+    )
+
+
 def from_resource_logs_tree(
     tree: DataFrame, resource_col: str = "resource_attributes"
 ) -> DataFrame:

@@ -30,6 +30,24 @@ TOPICS = {
 }
 
 
+def read_stream_options(
+    brokers: str,
+    telemetry_type: str = "logs",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Option map for the per-type topic reader (testable without a
+    broker; the semantics the integration tests assert)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": TOPICS[telemetry_type],
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_stream_spec(
     spark: SparkSession,
     brokers: str,
@@ -38,14 +56,11 @@ def read_stream_spec(
     max_offsets_per_trigger: int | None = None,
 ):
     """Unstarted readStream for the per-type topic."""
-    r = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", TOPICS[telemetry_type])
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    r = spark.readStream.format("kafka")
+    for k, v in read_stream_options(
+        brokers, telemetry_type, starting_offsets, max_offsets_per_trigger
+    ).items():
+        r = r.option(k, v)
     return r
 
 
@@ -74,10 +89,19 @@ def to_kafka_batch(
     )
 
 
+def write_stream_options(
+    brokers: str, telemetry_type: str = "logs"
+) -> dict[str, str]:
+    """Option map for the per-type topic writer."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": TOPICS[telemetry_type],
+    }
+
+
 def write_stream_spec(df: DataFrame, brokers: str, telemetry_type: str = "logs"):
     """Unstarted writeStream to the per-type topic."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", TOPICS[telemetry_type])
-    )
+    w = df.writeStream.format("kafka")
+    for k, v in write_stream_options(brokers, telemetry_type).items():
+        w = w.option(k, v)
+    return w

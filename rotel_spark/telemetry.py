@@ -1,0 +1,158 @@
+"""Traces & metrics telemetry types — the other two OTLP pipelines.
+
+The reference statically runs one pipeline per telemetry type
+(/root/reference/src/init/agent.rs:806-906; the payload enum
+`OTLPPayload::{Traces,Metrics,Logs}`, src/topology/payload.rs:706-711).
+Spark mapping (SURVEY.md §1.4): per-type DataFrame branches off ONE
+source scan — `events` rows become spans and datapoints via pure
+expression transforms, each branch feeding its own processors/sinks.
+
+Row schemas mirror the reference leaf records:
+  span  — opentelemetry Span essentials (trace_id, span_id,
+          parent_span_id, name, kind, start/end_time_unix_nano,
+          status_code, service_name), constructed the way
+          src/receivers/file/receiver.rs builds LogRecords.
+  datapoint — metric leaf (metric_name, namespace, dims, ts, value);
+          the unit the batcher counts (batch_resources.rs:61-77
+          counts datapoints, not envelopes).
+
+All derivations are deterministic arithmetic over the events table so
+DuckDB oracles can derive the same values independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# span kind per event type (SpanKind enum: 1=INTERNAL 2=SERVER 3=CLIENT)
+KIND_MAP = {
+    "view": 2,
+    "click": 3,
+    "purchase": 3,
+    "signup": 2,
+    "error": 1,
+}
+
+TRACE_FANOUT = 4  # events per trace (deterministic grouping)
+
+
+def events_to_spans(events: DataFrame) -> DataFrame:
+    """events → span rows.
+
+    trace groups TRACE_FANOUT consecutive event_ids; the group's first
+    event is the root span. IDs are md5-derived hex (the OTLP wire
+    shape: 32-hex trace_id, 16-hex span_id). Duration comes from
+    `value` (seconds-ish → ns via µs floor, portable across engines).
+    """
+    root_id = F.col("event_id") - F.col("event_id") % TRACE_FANOUT
+    start_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    dur_ns = (
+        F.floor(F.col("value") * 1000000).cast("long") * 1000
+    )
+    kind = F.lit(1)
+    for et, k in KIND_MAP.items():
+        kind = F.when(F.col("event_type") == et, F.lit(k)).otherwise(kind)
+    return events.select(
+        F.md5(root_id.cast("string")).alias("trace_id"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 16).alias(
+            "span_id"
+        ),
+        F.when(F.col("event_id") % TRACE_FANOUT == 0, F.lit("")).otherwise(
+            F.substring(F.md5(root_id.cast("string")), 1, 16)
+        ).alias("parent_span_id"),
+        F.col("event_type").alias("name"),
+        kind.alias("kind"),
+        start_ns.alias("start_time_unix_nano"),
+        (start_ns + dur_ns).alias("end_time_unix_nano"),
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("status_code"),
+        F.concat(
+            F.lit("svc-"), (F.col("user_id") % 4).cast("string")
+        ).alias("service_name"),
+    )
+
+
+def events_to_datapoints(events: DataFrame) -> DataFrame:
+    """events → metric datapoint rows (gauge shape).
+
+    One datapoint per event: metric_name from the event type, fixed
+    dimension set (service, event_type), timestamp bucketed to the
+    minute (EMF grouping granularity).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.select(
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".value"))
+        .alias("metric_name"),
+        F.lit("rotel/events").alias("namespace"),
+        F.concat(
+            F.lit("svc-"), (F.col("user_id") % 4).cast("string")
+        ).alias("service"),
+        F.col("event_type"),
+        ((us - us % 60000000) * 1000).alias("ts_minute_nano"),
+        F.col("value"),
+    )
+
+
+def branch_telemetry(events: DataFrame) -> dict[str, DataFrame]:
+    """One scan → the three typed pipeline branches (agent.rs:806-906
+    static per-type wiring). Logs branch: error events as log records."""
+    spans = events_to_spans(events)
+    datapoints = events_to_datapoints(events)
+    logs = events.filter(F.col("event_type") == "error").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("time_unix_nano"),
+        F.lit(17).alias("severity_number"),
+        F.lit("ERROR").alias("severity_text"),
+        F.concat(F.lit("event error value="), F.col("value").cast("string"))
+        .alias("body"),
+    )
+    return {"traces": spans, "metrics": datapoints, "logs": logs}
+
+
+def spans_to_resource_tree(
+    spans: DataFrame, max_spans_per_resource: int = 8192
+) -> DataFrame:
+    """span rows → ResourceSpans-shaped tree (one row per service
+    resource chunk, spans nested) — the traces twin of
+    sinks.otlp_shape.to_resource_logs_tree; leaf count = spans
+    (batch_resources.rs:126-130 rule)."""
+    rec = F.struct(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "start_time_unix_nano", "end_time_unix_nano", "status_code",
+    )
+    grouped = spans.groupBy("service_name").agg(
+        F.collect_list(rec).alias("_all")
+    )
+    n_chunks = F.ceil(F.size("_all") / max_spans_per_resource).cast("int")
+    return (
+        grouped.withColumn(
+            "_chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn(
+            "spans",
+            F.slice(
+                "_all",
+                F.col("_chunk") * max_spans_per_resource + 1,
+                max_spans_per_resource,
+            ),
+        )
+        .select("service_name", "_chunk", "spans")
+    )
+
+
+def emf_group_datapoints(dps: DataFrame) -> DataFrame:
+    """AWS EMF grouping on the real metric shape: one EMF log per
+    (namespace, dimension set, timestamp) group holding every metric
+    that shares them (src/exporters/awsemf/transformer.rs:46-75,
+    group key :360). groupBy + collect into the EMF measurement list;
+    partial aggregation combines map-side."""
+    return (
+        dps.groupBy("namespace", "service", "event_type", "ts_minute_nano")
+        .agg(
+            F.count(F.lit(1)).alias("n_datapoints"),
+            F.count_distinct("metric_name").alias("n_metrics"),
+            F.round(F.sum("value"), 6).alias("sum_value_r"),
+            F.round(F.max("value"), 6).alias("max_value_r"),
+        )
+    )

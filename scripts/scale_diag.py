@@ -1,14 +1,15 @@
-"""Scaling diagnostic — run the E2E pipeline at one core count with a
-configurable sink / heap / partition layout, print one JSON line.
+"""Scaling diagnostic — run the E2E bench pipeline at one core count
+with a configurable sink / heap / partition layout, print one JSON
+line prefixed DIAG.
 
 Each invocation is a fresh JVM (one subprocess per level, like
-scaling_bench.py). Used to attribute the N->4N efficiency loss to
-compute vs disk I/O vs heap pressure vs task-wave granularity.
+scaling_bench.py). Used to attribute N->4N efficiency loss to compute
+vs disk I/O vs heap pressure vs task-wave granularity.
 
 Usage:
   python scripts/scale_diag.py --cores 8 --sink noop|parquet|shm \
-      --reps 400 [--heap 16g] [--partitions 64] [--mrpf 65536] \
-      [--gc parallel|g1] [--passes 1]
+      [--reps 400] [--heap 16g] [--partitions 256] [--mrpf 65536] \
+      [--gc parallel|g1] [--passes 1] [--committer 1|2] [--sf DIR]
 """
 
 from __future__ import annotations
@@ -28,19 +29,17 @@ def main() -> int:
                     choices=["noop", "parquet", "shm"])
     ap.add_argument("--reps", type=int, default=400)
     ap.add_argument("--heap", default=None)
-    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--mrpf", type=int, default=65536)
     ap.add_argument("--gc", default="parallel", choices=["parallel", "g1"])
     ap.add_argument("--passes", type=int, default=1)
-    ap.add_argument("--writers", type=int, default=None,
-                    help="maxConcurrentOutputFileWriters")
+    ap.add_argument("--committer", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
     import os
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cores))
     sys.path.insert(0, "/root/repo")
-    from pyspark.sql import functions as F
 
     from rotel_spark.session import build_spark
 
@@ -49,70 +48,41 @@ def main() -> int:
         extra["spark.driver.memory"] = args.heap
     gcflag = "-XX:+UseParallelGC" if args.gc == "parallel" else "-XX:+UseG1GC"
     extra["spark.driver.extraJavaOptions"] = gcflag
-    if args.writers:
-        extra["spark.sql.maxConcurrentOutputFileWriters"] = str(args.writers)
+    if args.committer:
+        extra[
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"
+        ] = args.committer
     spark = build_spark(
         app_name=f"diag_{args.cores}", master=f"local[{args.cores}]",
         shuffle_partitions=args.cores, extra_conf=extra,
     )
 
-    from rotel_spark.fixtures import extract_log_line, materialize_pages
-    from rotel_spark.operators.filters import drop_unparsed
-    from rotel_spark.parsers.auto import parse_auto
-    from rotel_spark.plans.routing import with_route
-    from rotel_spark.sinks.writer import write_routed
-
-    tag = args.sf.rstrip("/").rsplit("/", 1)[-1]
-    table = f"/tmp/rotel_pages_{tag}_x{args.reps}_p{args.partitions}"
-    pages = materialize_pages(
-        spark, args.sf, args.reps, table, partitions=args.partitions
-    )
-
-    def pipeline():
-        df = extract_log_line(pages)
-        parsed = with_route(drop_unparsed(parse_auto(df)))
-        return parsed.select(
-            "page_id", "url", "domain", "body", "log_source", "status",
-            "severity_number", "severity_text", "time_unix_nano", "route",
-            "domain_partition", F.length("html").alias("html_bytes"),
-        )
+    from bench import run_pipeline_bench
 
     base = "/dev/shm" if args.sink == "shm" else None
+    sink = "noop" if args.sink == "noop" else "parquet"
     results = []
-    # warm-up
-    if args.sink == "noop":
-        pipeline().write.format("noop").mode("overwrite").save()
-    else:
-        out = tempfile.mkdtemp(prefix="diag_w_", dir=base)
-        write_routed(pipeline(), out + "/r", max_records_per_file=args.mrpf)
-        shutil.rmtree(out, ignore_errors=True)
     for _ in range(args.passes):
-        t0 = time.time()
-        if args.sink == "noop":
-            obs_df = pipeline()
-            from pyspark.sql.observation import Observation
-            ob = Observation("n")
-            obs_df.observe(ob, F.count(F.lit(1)).alias("rows")).write.format(
-                "noop").mode("overwrite").save()
-            n = ob.get["rows"]
-        else:
-            out = tempfile.mkdtemp(prefix="diag_", dir=base)
-            try:
-                counts = write_routed(
-                    pipeline(), out + "/r",
-                    max_records_per_file=args.mrpf,
-                )
-                n = sum(counts.values())
-            finally:
-                shutil.rmtree(out, ignore_errors=True)
-        el = time.time() - t0
-        results.append({"sec": round(el, 2), "rps": round(n / el, 1),
-                        "records": n})
+        out = tempfile.mkdtemp(prefix="diag_", dir=base)
+        try:
+            t0 = time.time()
+            r = run_pipeline_bench(
+                spark, args.sf, args.reps, out,
+                partitions=args.partitions, mrpf=args.mrpf, sink=sink,
+            )
+            results.append(
+                {"sec": round(r["sec"], 2),
+                 "rps": round(r["records_per_sec"], 1),
+                 "records": r["records"],
+                 "total_sec": round(time.time() - t0, 2)}
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
     best = max(results, key=lambda r: r["rps"])
     print("DIAG " + json.dumps({
         "cores": args.cores, "sink": args.sink, "heap": args.heap,
         "partitions": args.partitions, "gc": args.gc,
-        "writers": args.writers, **best,
+        "committer": args.committer, **best,
         "all": [r["rps"] for r in results],
     }))
     spark.stop()

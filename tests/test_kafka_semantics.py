@@ -1,0 +1,90 @@
+"""Kafka source/sink semantics — testable without a broker.
+
+The reference's dockerized integration tests
+(tests/kafka_integration_tests.rs:490,614) verify topic naming, key
+partitioning, and payload shape; no broker exists here, so we assert
+the same semantics on the spec objects and the (key, value) batch
+shaping (SURVEY.md §2.1/§2.6).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rotel_spark.sources.kafka import (
+    TOPICS,
+    kafka_key,
+    read_stream_options,
+    to_kafka_batch,
+    write_stream_options,
+)
+
+
+def test_per_type_topics():
+    """config.rs:111-117: one topic per telemetry type."""
+    assert TOPICS == {
+        "logs": "otlp_logs",
+        "metrics": "otlp_metrics",
+        "traces": "otlp_traces",
+    }
+
+
+def test_read_stream_spec_options():
+    opts = read_stream_options(
+        "broker:9092", "traces", max_offsets_per_trigger=500
+    )
+    assert opts["subscribe"] == "otlp_traces"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+
+
+def test_kafka_key_order_insensitive(spark):
+    """exporter.rs:128-162: key hash sorts attr pairs first, so map
+    insertion order must not change the key."""
+    df = spark.createDataFrame([(1,), (2,)], "id int").withColumn(
+        "resource_attributes",
+        F.when(
+            F.col("id") == 1,
+            F.create_map(
+                F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2")
+            ),
+        ).otherwise(
+            F.create_map(
+                F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1")
+            )
+        ),
+    )
+    keys = [
+        r.k for r in df.select(
+            kafka_key(F.col("resource_attributes")).alias("k")
+        ).collect()
+    ]
+    assert keys[0] == keys[1]
+
+
+def test_to_kafka_batch_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "x")], "id int, body string"
+    ).withColumn(
+        "resource_attributes",
+        F.create_map(F.lit("service.name"), F.lit("s")),
+    )
+    out = to_kafka_batch(df, ["id", "body"])
+    assert out.columns == ["key", "value"]
+    row = out.collect()[0]
+    assert row.key is not None and len(row.key) == 64  # sha256 hex
+    assert json.loads(row.value) == {"id": 1, "body": "x"}
+    # partitioning disabled → null key (round-robin partitioner)
+    row2 = to_kafka_batch(
+        df, ["id"], partition_by_resource_attrs=False
+    ).collect()[0]
+    assert row2.key is None
+
+
+def test_write_stream_spec_topic():
+    opts = write_stream_options("broker:9092", "metrics")
+    assert opts["topic"] == "otlp_metrics"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"

@@ -117,15 +117,75 @@ def test_redaction_mask_and_hash(spark):
     assert attrs_of(out2)["ip"] == hashlib.sha256(b"10.0.0.1").hexdigest()
 
 
-def test_redaction_allowed_keys(spark):
+def test_redaction_ignored_keys_override_blocking(spark):
+    """redaction_processor.py:24-26 — ignored keys are never masked."""
     df = _attr_df(spark, {"ip": "10.0.0.1", "trusted_ip": "10.0.0.2"})
     out = redact(
         df,
         blocked_value_patterns=[r"^\d+\.\d+"],
-        allowed_keys=["trusted_ip"],
+        ignored_keys=["trusted_ip"],
     )
     a = attrs_of(out)
     assert a["ip"] == "[REDACTED]" and a["trusted_ip"] == "10.0.0.2"
+
+
+def test_redaction_allow_all_keys_false_deletes(spark):
+    """redaction_processor.py:176-196 phase 1: with allow_all_keys
+    False only allowed/ignored keys survive."""
+    df = _attr_df(spark, {"ip": "10.0.0.1", "junk": "x", "keep": "y"})
+    out = redact(
+        df,
+        allow_all_keys=False,
+        allowed_keys=["ip"],
+        ignored_keys=["keep"],
+        summary=False,
+    )
+    a = attrs_of(out)
+    assert set(a) == {"ip", "keep"}
+    assert out.collect()[0].redacted_count == 1  # 'junk' deleted
+
+
+def test_redaction_allowed_values_override(spark):
+    """blocked_values masked unless an allowed_values pattern also
+    matches (:229-252)."""
+    df = _attr_df(
+        spark, {"a": "mail@other.com", "b": "mail@mycompany.com"}
+    )
+    out = redact(
+        df,
+        blocked_value_patterns=[r".*@.*"],
+        allowed_value_patterns=[r".*@mycompany\.com$"],
+    )
+    a = attrs_of(out)
+    assert a["a"] == "[REDACTED]" and a["b"] == "mail@mycompany.com"
+
+
+def test_redaction_summary_levels(spark):
+    df = _attr_df(spark, {"password_x": "s3cret", "ok": "fine"})
+    silent = attrs_of(redact(df, blocked_key_patterns=["password"],
+                             summary=False))
+    assert set(silent) == {"password_x", "ok"}
+    info = attrs_of(redact(df, blocked_key_patterns=["password"],
+                           summary="info"))
+    assert info["redaction.log.masked_keys.count"] == "1"
+    assert "redaction.log.masked_keys.names" not in info
+    debug = attrs_of(redact(df, blocked_key_patterns=["password"],
+                            summary="debug"))
+    assert debug["redaction.log.masked_keys.names"] == "password_x"
+
+
+def test_redaction_log_body(spark):
+    """Body redaction (:309-390): blocked/allowed value patterns apply
+    to the body string."""
+    df = _attr_df(spark, {"k": "v"}).withColumn(
+        "body", F.lit("SSN 123-45-6789 inline")
+    )
+    out = redact(
+        df,
+        blocked_value_patterns=[r"\d{3}-\d{2}-\d{4}"],
+        body_col="body",
+    )
+    assert out.collect()[0].body == "[REDACTED]"
 
 
 def test_resource_upsert_overwrites_and_appends(spark):

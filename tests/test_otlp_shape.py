@@ -51,6 +51,36 @@ def test_tree_split_oversized_resource(spark):
     assert len(sizes) == 4  # ceil(100/30)
 
 
+def test_export_request_proto_json(spark):
+    """ExportLogsServiceRequest proto-JSON shape (payload.rs:680-686;
+    canonical proto3 JSON: uint64 nanos as strings, AnyValue as
+    {"stringValue"}, attrs as KeyValue lists)."""
+    import json
+
+    from rotel_spark.sinks.otlp_shape import to_export_request_json
+
+    tree = to_resource_logs_tree(_flat(spark))
+    row = to_export_request_json(tree).collect()[0]
+    req = json.loads(row.request_json)
+    assert set(req) == {"resourceLogs"}
+    assert len(req["resourceLogs"]) == 4
+    total = 0
+    for rl in req["resourceLogs"]:
+        attrs = rl["resource"]["attributes"]
+        assert attrs[0]["key"] == "service.name"
+        assert "stringValue" in attrs[0]["value"]
+        for sl in rl["scopeLogs"]:
+            assert sl["scope"]["name"] == "rotel_spark"
+            for rec in sl["logRecords"]:
+                assert isinstance(rec["timeUnixNano"], str)
+                assert rec["body"]["stringValue"].startswith("line")
+                total += 1
+    assert total == 100 and row.n_records == 100
+
+    per_resource = to_export_request_json(tree, one_request=False)
+    assert per_resource.count() == 4
+
+
 def test_pandas_processor_mutate_and_delete(spark):
     df = spark.range(50).selectExpr("id", "id * 2 as v")
 

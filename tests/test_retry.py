@@ -1,0 +1,60 @@
+"""Retry classification + backoff schedule (retry.rs parity)."""
+
+from __future__ import annotations
+
+from rotel_spark.sinks.retry import (
+    RetryConfig,
+    backoff_schedule,
+    classify_grpc,
+    classify_http,
+    next_attempt_delay,
+    split_by_retry,
+)
+
+
+def test_http_status_classes():
+    """retry.rs:127-143 status table."""
+    for s in (200, 201, 202):
+        assert classify_http(s) == "success"
+    for s in (408, 429, 500, 501, 502, 503, 504):
+        assert classify_http(s) == "retryable"
+    for s in (203, 301, 400, 401, 403, 404, 409, 505):
+        assert classify_http(s) == "permanent"
+    assert classify_http(None) == "retryable"  # transport/timeout
+
+
+def test_grpc_status_classes():
+    """retry.rs:144-151: Unavailable/Internal/DeadlineExceeded/
+    ResourceExhausted retry; Ok success."""
+    assert classify_grpc(0) == "success"
+    for c in (4, 8, 13, 14):
+        assert classify_grpc(c) == "retryable"
+    for c in (3, 5, 7, 16):
+        assert classify_grpc(c) == "permanent"
+
+
+def test_backoff_schedule_caps():
+    """5s → 30s cap, stops before 300s elapsed (retry.rs:20-33)."""
+    sched = backoff_schedule(RetryConfig())
+    assert sched[0] == 5.0
+    assert sched[1] == 10.0 and sched[2] == 20.0
+    assert max(sched) == 30.0
+    assert sum(sched) <= 300.0
+    assert sum(sched) + 30.0 > 300.0  # truncated exactly at the deadline
+    assert next_attempt_delay(1) == 5.0
+    assert next_attempt_delay(len(sched) + 1) is None  # gave up
+    assert next_attempt_delay(99, RetryConfig(indefinite=True)) == 30.0
+
+
+def test_split_by_retry_df(spark):
+    df = spark.createDataFrame(
+        [(1, 200), (2, 503), (3, 404), (4, 429), (5, None)],
+        "id int, sink_status int",
+    )
+    parts = split_by_retry(df)
+    assert {r.id for r in parts["success"].collect()} == {1}
+    retry = {r.id: r for r in parts["retryable"].collect()}
+    assert set(retry) == {2, 4, 5}
+    assert all(r.attempt == 1 for r in retry.values())
+    assert all(r.next_attempt_delay_s == 5.0 for r in retry.values())
+    assert {r.id for r in parts["permanent"].collect()} == {3}

@@ -1,0 +1,121 @@
+"""Traces/metrics telemetry branches + typed AnyValue flatten."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rotel_spark.functions.anyvalue import (
+    coerce_scalar,
+    flatten_attrs_obj,
+    flatten_typed_attrs,
+    typed_attrs_map,
+)
+from rotel_spark.telemetry import (
+    branch_telemetry,
+    emf_group_datapoints,
+    events_to_datapoints,
+    events_to_spans,
+    spans_to_resource_tree,
+)
+
+
+def _events(spark, sf_unit):
+    return spark.read.parquet(f"{sf_unit}/events.parquet")
+
+
+def test_spans_shape_and_trace_grouping(spark, sf_unit):
+    spans = events_to_spans(_events(spark, sf_unit))
+    r = spans.first()
+    assert len(r.trace_id) == 32 and len(r.span_id) == 16
+    # every non-root span's parent is its trace's root span id
+    bad = spans.filter(
+        (F.col("parent_span_id") != "")
+        & (F.col("parent_span_id") != F.substring("trace_id", 1, 16))
+    ).count()
+    assert bad == 0
+    # durations are non-negative and end >= start
+    assert (
+        spans.filter(
+            F.col("end_time_unix_nano") < F.col("start_time_unix_nano")
+        ).count()
+        == 0
+    )
+
+
+def test_span_tree_leaf_count_parity(spark, sf_unit):
+    """batch_resources.rs:126-130 — leaf count (spans) is conserved by
+    the tree round trip and no chunk exceeds the max."""
+    spans = events_to_spans(_events(spark, sf_unit))
+    tree = spans_to_resource_tree(spans, max_spans_per_resource=100)
+    n_leaves = tree.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert n_leaves == spans.count()
+    assert tree.filter(F.size("spans") > 100).count() == 0
+
+
+def test_emf_grouping_counts(spark, sf_unit):
+    dps = events_to_datapoints(_events(spark, sf_unit))
+    emf = emf_group_datapoints(dps)
+    assert (
+        emf.select(F.sum("n_datapoints")).collect()[0][0] == dps.count()
+    )
+    # a group has exactly one metric name (dims include event_type)
+    assert emf.filter(F.col("n_metrics") != 1).count() == 0
+
+
+def test_branch_telemetry_one_scan_three_types(spark, sf_unit):
+    branches = branch_telemetry(_events(spark, sf_unit))
+    assert set(branches) == {"traces", "metrics", "logs"}
+    n_events = _events(spark, sf_unit).count()
+    assert branches["traces"].count() == n_events
+    assert branches["metrics"].count() == n_events
+    logs = branches["logs"]
+    assert 0 < logs.count() < n_events
+    assert logs.filter(F.col("severity_number") != 17).count() == 0
+
+
+def test_coerce_scalar_reference_rules():
+    """cvattr.rs:30-42: int stays int-rendered, double JSON repr, bool
+    → string, bytes → hex, array/kvlist → JSON string."""
+    assert coerce_scalar(5) == ("int", "5")
+    assert coerce_scalar(0.25) == ("double", "0.25")
+    assert coerce_scalar(True) == ("string", "true")
+    assert coerce_scalar("x") == ("string", "x")
+    assert coerce_scalar(b"\xca\xfe") == ("string", "cafe")
+    assert coerce_scalar([1, "a"]) == ("string", '[1,"a"]')
+    assert coerce_scalar(None) is None
+
+
+def test_flatten_dotted_keys_and_depth_bound():
+    obj = {
+        "a": {"b": {"c": {"d": 1}}},
+        "x": 7,
+        "skip": None,
+    }
+    flat = dict(
+        (k, (t, v)) for k, t, v in flatten_attrs_obj(obj, max_depth=3)
+    )
+    assert flat["x"] == ("int", "7")
+    # depth bound: a.b.c stringifies its remaining subtree
+    assert flat["a.b.c"] == ("string", '{"d":1}')
+    assert "skip" not in flat
+    deep = dict(
+        (k, (t, v)) for k, t, v in flatten_attrs_obj(obj, max_depth=10)
+    )
+    assert deep["a.b.c.d"] == ("int", "1")
+
+
+def test_flatten_typed_attrs_df_and_map(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": {"n": 2}, "s": "v"}'), (2, "not json"), (3, None)],
+        "id int, j string",
+    )
+    out = flatten_typed_attrs(df, "j").withColumn(
+        "m", typed_attrs_map(F.col("attr_entries"))
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert {e.key: e.value for e in rows[1].attr_entries} == {
+        "k.n": "2",
+        "s": "v",
+    }
+    assert rows[1].m == {"k.n": "2", "s": "v"}
+    assert rows[2].attr_entries == [] and rows[3].attr_entries == []
