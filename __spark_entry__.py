@@ -60,6 +60,17 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across cores: the driver ships ONE
+    parquet file per sf, which caps any scan at 1-2 tasks regardless
+    of parallelism (maxPartitionBytes); a tiny repartition unlocks the
+    pandas-UDF / shingle stages. At 100 TB the table has natural
+    file-level parallelism and this is a no-op choice."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_grok_nginx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex grok of nginx combined lines → typed fields + parsed
     timestamp (reference nginx.rs:53 pattern, :40 time format)."""
@@ -281,7 +292,7 @@ def q_timestamp_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counting over documents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         textfn.token_count(F.col("text")).alias("n_tokens"),
@@ -291,7 +302,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs stored lang — confusion counts."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pred = textfn.lang_id_heuristic(F.col("text"))
     return (
         docs.withColumn("predicted", pred)
@@ -304,7 +315,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents.text (hash-groupBy, keep min id)."""
     from rotel_spark.operators.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     kept = exact_dedup(docs, "text", "doc_id")
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -315,7 +326,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint collision groups (rolling-hash analog —
     md5 here so the oracle can replicate engine-independently)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("fp", F.md5(F.col("text")))
         .groupBy("fp")
@@ -328,7 +339,7 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation heuristic, bucketed."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     q = textfn.quality_score(F.col("text"))
     return (
         docs.withColumn("qbucket", F.floor(q * 10).cast("int"))
@@ -364,7 +375,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule the DuckDB oracle computes brute-force."""
     from rotel_spark.operators.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     kept = minhash_dedup(
         docs, "doc_id", "text", verify_exact=True, jaccard_threshold=0.8
     )
@@ -377,7 +388,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a brute-force O(n²) DuckDB oracle."""
     from rotel_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.8,
         band_hashes=64, bands=16,
@@ -392,7 +403,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces every bit (dedup.simhash_oracle_ctes)."""
     from rotel_spark.operators.dedup import simhash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash64(docs).select("doc_id", "simhash")
 
 
@@ -485,7 +496,7 @@ def q_nginx_error_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         textfn.bpe_ish_token_count(F.col("text")).cast("int").alias(
@@ -495,7 +506,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.round(textfn.stopword_ratio(F.col("text"), "en"), 6).alias(
@@ -525,10 +536,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed pairs; bit-exact DuckDB oracle (same md5 token hashes)."""
     from rotel_spark.operators.dedup import simhash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
+    # materialize signatures once — the self-join would otherwise
+    # recompute the UDF on BOTH sides (at 100 TB the signature table
+    # is persisted storage, not a recomputed lineage)
     sig = simhash64(docs).select(
         F.col("doc_id").alias("_id"), "simhash"
-    )
+    ).localCheckpoint(eager=True)
     # band on the top 16 bits (60-bit sig) so the self-join is
     # bucket-bounded
     banded = sig.withColumn(

@@ -144,6 +144,10 @@ def run_pipeline_bench(
 
 
 def main() -> None:
+    # bench heap: large fixed young gen (see session._gc_options) —
+    # 32g/Xmn24g measured ~9% over 16g/Xmn12g at 32 cores on the
+    # string-churn parse (fewer young-GC pauses)
+    os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
     spark = build_spark(
         app_name="rotel_spark_bench", master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
@@ -184,6 +188,8 @@ def main() -> None:
             "exact_dedup",
             "minhash_dedup",
             "ann_topk",
+            "simhash",
+            "emf_metrics_grouping",
         ]
         qs = entrymod.queries()
         for name in headline:

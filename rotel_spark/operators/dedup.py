@@ -257,16 +257,69 @@ sims AS (
 
 
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add `simhash` (LONG): 60-bit SimHash over whitespace tokens.
+    """Add `simhash` (LONG): 60-bit SimHash over whitespace tokens —
+    md5-token-hash + per-bit majority vote.
 
-    Expression-only (see simhash_votes_sql) — whole-stage-codegen'd
-    JVM work, no Python in the hot path, exact SQL-oracle parity.
+    Arrow-batched pandas UDF, batch-vectorized inside: all tokens of
+    the batch hash through a memo dict (md5 once per UNIQUE token),
+    then ONE numpy segment-sum computes every document's 60 bit votes
+    (np.add.at over the doc index — no per-row Python loop). Semantics
+    are bit-identical to the expression form (simhash_votes_sql) and
+    to the DuckDB oracle (simhash_oracle_ctes): same md5-60bit token
+    hash, same ASCII \\s+ split, same majority rule. The pure-
+    expression variant exists (simhash_votes_sql) but a fresh 60-long
+    array per token defeats codegen (measured 102 s / 5k docs vs ~2 s
+    for this kernel).
     """
-    return (
-        df.withColumn("_votes", F.expr(simhash_votes_sql(text_col)))
-        .withColumn("simhash", F.expr(simhash_from_votes_sql("_votes")))
-        .drop("_votes")
-    )
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    # Java/RE2 \s is ASCII-only; match it exactly (re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(
+                    hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16
+                )
+                memo[tok] = v
+            return v
+
+        doc_idx: list[int] = []
+        hashes: list[int] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            counts[i] = len(toks)
+            doc_idx.extend([i] * len(toks))
+            hashes.extend(h(x) for x in toks)
+        out = np.zeros(len(texts), dtype=np.int64)
+        if hashes:
+            hs = np.array(hashes, dtype=np.uint64)
+            idx = np.array(doc_idx, dtype=np.int64)
+            bits = (
+                (hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64))
+                & 1
+            ).astype(np.int64)
+            votes = np.zeros((len(texts), SIMHASH_BITS), dtype=np.int64)
+            np.add.at(votes, idx, bits)
+            votes = votes * 2 - counts[:, None]
+            sig = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(SIMHASH_BITS, dtype=np.uint64)
+            ).sum(axis=1)
+            out = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
 
 
 def ngram_jaccard_pairs(

@@ -75,34 +75,39 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     fmt = F.col("log_source")
 
     # stage 2: raw field extraction, guarded per format — a row only
-    # pays the regex(es) of its own format
+    # pays its own format's parse, and each format's regex runs ONCE
+    # per row (capture_all: one regexp_replace + split yields every
+    # group; per-group regexp_extract would re-match per field)
+    from .capture import capture_all
+
     def only(f, expr):
         return F.when(fmt == f, expr)
 
-    s2 = s1.select(
+    s2a = s1.select(
         "*",
-        only("nginx", F.regexp_extract(line, nginx.COMBINED_PATTERN, 5)).alias(
-            "_ng_status"
-        ),
-        only("nginx", F.regexp_extract(line, nginx.COMBINED_PATTERN, 3)).alias(
-            "_ng_time"
-        ),
         only(
-            "nginx_error", F.regexp_extract(line, nginx.ERROR_PATTERN, 2)
-        ).alias("_err_level"),
+            "nginx", capture_all(line, nginx.COMBINED_PATTERN, 8)
+        ).alias("_ng"),
         only(
-            "nginx_error", F.regexp_extract(line, nginx.ERROR_PATTERN, 1)
-        ).alias("_err_time"),
-        only("kmsg", F.regexp_extract(line, kmsg.KMSG_PATTERN, 1)).alias(
-            "_km_prio"
-        ),
-        only("kmsg", F.regexp_extract(line, kmsg.KMSG_PATTERN, 3)).alias(
-            "_km_usec"
-        ),
+            "nginx_error", capture_all(line, nginx.ERROR_PATTERN, 6)
+        ).alias("_err"),
+        only("kmsg", capture_all(line, kmsg.KMSG_PATTERN, 5)).alias("_km"),
         only("json", F.from_json(line, json_log.ACCESS_JSON_SCHEMA)).alias(
             "_j"
         ),
     )
+    # groups ≥2 are plain array slots; group 1 carries the match MARK
+    s2 = s2a.select(
+        "*",
+        F.col("_ng").getItem(4).alias("_ng_status"),
+        F.col("_ng").getItem(2).alias("_ng_time"),
+        F.col("_err").getItem(1).alias("_err_level"),
+        F.substring(F.col("_err").getItem(0), 2, 1 << 30).alias(
+            "_err_time"
+        ),
+        F.substring(F.col("_km").getItem(0), 2, 1 << 30).alias("_km_prio"),
+        F.col("_km").getItem(2).alias("_km_usec"),
+    ).drop("_ng", "_err", "_km")
 
     # stage 3: typed fields + severity + timestamp from the raw columns
     status = (

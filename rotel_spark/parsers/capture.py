@@ -1,0 +1,45 @@
+"""Single-pass regex group capture.
+
+One ``regexp_extract`` per capture group re-runs the full match per
+group (~N regex evaluations/row for N groups). ``regexp_replace``
+rewrites a matching line into MARK + groups joined by a SEP control
+char in ONE evaluation; fields come from a split. Control chars
+U+0002/U+0001 never occur in the generated fixtures and are
+vanishingly rare in real log lines; a line containing them would only
+mis-split itself (counted-dropped), never fail the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SEP = "\x01"
+MARK = "\x02"
+
+
+def capture_all(line: Column, pattern: str, n_groups: int) -> Column:
+    """All capture groups of `pattern` in ONE regex evaluation.
+
+    Returns array<string>: [MARK+g1, g2, ..., gN, trailing]. A match
+    is signalled by element 0 starting with MARK and size > n_groups;
+    non-matching lines pass through regexp_replace unchanged.
+    """
+    repl = MARK + SEP.join(f"${i}" for i in range(1, n_groups + 1)) + SEP
+    return F.split(F.regexp_replace(line, pattern, repl), SEP)
+
+
+def capture_ok(parts: Column, n_groups: int) -> Column:
+    """True iff the capture array came from a matching line."""
+    return (F.size(parts) > n_groups) & parts.getItem(0).startswith(MARK)
+
+
+def group(parts: Column, ok: Column, i: int) -> Column:
+    """i-th (1-based) captured group; '' when unmatched
+    (regexp_extract parity)."""
+    raw = (
+        F.substring(parts.getItem(0), 2, 1 << 30)
+        if i == 1
+        else parts.getItem(i - 1)
+    )
+    return F.when(ok, raw).otherwise(F.lit(""))

@@ -24,30 +24,27 @@ KMSG_PATTERN = r"^(\d+),(\d+),(\d+)(,[^;]*)?;(.*)$"
 
 
 def parse_kmsg(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """One regex evaluation per row (capture.capture_all; the naive
+    one-extract-per-field form was 6 evaluations)."""
+    from .capture import capture_all, capture_ok, group
+
     line = F.col(line_col)
-    prio = F.regexp_extract(line, KMSG_PATTERN, 1)
+    n = 5
+    out = df.withColumn("_parts", capture_all(line, KMSG_PATTERN, n))
+    ok = capture_ok(F.col("_parts"), n)
+    out = out.withColumn("parse_ok", ok)
+    p = F.col("_parts")
+    okc = F.col("parse_ok")
+    prio = group(p, okc, 1)
+    seq = group(p, okc, 2)
+    usec = group(p, okc, 3)
     return (
-        df.withColumn("parse_ok", line.rlike(KMSG_PATTERN))
-        .withColumn(
-            "priority", F.when(prio != "", prio.cast("int"))
-        )
+        out.withColumn("priority", F.when(prio != "", prio.cast("int")))
         .withColumn("facility", (F.col("priority") / 8).cast("int"))
-        .withColumn(
-            "seq",
-            F.when(
-                F.regexp_extract(line, KMSG_PATTERN, 2) != "",
-                F.regexp_extract(line, KMSG_PATTERN, 2).cast("long"),
-            ),
-        )
-        .withColumn(
-            "ts_usec",
-            F.when(
-                F.regexp_extract(line, KMSG_PATTERN, 3) != "",
-                F.regexp_extract(line, KMSG_PATTERN, 3).cast("long"),
-            ),
-        )
+        .withColumn("seq", F.when(seq != "", seq.cast("long")))
+        .withColumn("ts_usec", F.when(usec != "", usec.cast("long")))
         .withColumn("time_unix_nano", (F.col("ts_usec") * 1000).cast("long"))
-        .withColumn("kmsg_message", F.regexp_extract(line, KMSG_PATTERN, 5))
+        .withColumn("kmsg_message", group(p, okc, 5))
         .withColumn(
             "severity_number", kmsg_prio_to_severity_number(F.col("priority"))
         )
@@ -55,4 +52,5 @@ def parse_kmsg(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
             "severity_text", kmsg_prio_to_severity_text(F.col("priority"))
         )
         .withColumn("log_source", F.lit("kmsg"))
+        .drop("_parts")
     )

@@ -65,30 +65,9 @@ def combined_matches(line: Column) -> Column:
     return line.rlike(COMBINED_PATTERN)
 
 
-_SEP = "\x01"
-_MARK = "\x02"
-
-
-def capture_all(line: Column, pattern: str, n_groups: int) -> Column:
-    """All capture groups of `pattern` in ONE regex evaluation.
-
-    Returns array<string>: [ok_mark+g1, g2, ..., gN, trailing]. A match
-    is signalled by element 0 starting with MARK and size > n_groups;
-    non-matching lines pass through regexp_replace unchanged.
-    """
-    repl = _MARK + _SEP.join(f"${i}" for i in range(1, n_groups + 1)) + _SEP
-    return F.split(F.regexp_replace(line, pattern, repl), _SEP)
-
-
-def _group(parts: Column, ok: Column, i: int) -> Column:
-    """i-th (1-based) captured group; '' when unmatched (regexp_extract
-    parity)."""
-    raw = (
-        F.substring(parts.getItem(0), 2, 1 << 30)
-        if i == 1
-        else parts.getItem(i - 1)
-    )
-    return F.when(ok, raw).otherwise(F.lit(""))
+from .capture import MARK as _MARK  # noqa: E402
+from .capture import capture_all  # noqa: E402
+from .capture import group as _group  # noqa: E402
 
 
 def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:

@@ -1,0 +1,179 @@
+"""Datadog span transform — attribute-precedence search + static
+mapping tables, as DataFrame expressions.
+
+Mirrors /root/reference/src/exporters/datadog/transform/:
+  * CONTAINER_MAPPINGS / HTTP_MAPPINGS — static otel→datadog tag-name
+    tables (otel_mapping/attributes.rs:11-76)
+  * span-precedence attribute search — span attrs, then scope attrs,
+    then resource attrs (attributes.rs:27-77 find_with_span_precedence)
+  * resource-precedence search — resource first, then span
+    (attributes.rs:79-113)
+  * container tags from resource attrs (attributes.rs:77+) plus the
+    custom `datadog.container.tag.` passthrough prefix
+  * transformer basics: env / container_id / lang / sdk_version
+    extraction (transformer.rs:40-70)
+
+Spark mapping: precedence search = `coalesce(element_at(span_attrs,k),
+element_at(scope_attrs,k), element_at(resource_attrs,k))` — pure JVM;
+the mapping tables rename via map_from_entries over the static dict
+(the broadcast-join analog for a dict this small is a literal map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CUSTOM_CONTAINER_TAG_PREFIX = "datadog.container.tag."
+
+# otel_mapping/attributes.rs:11-50
+CONTAINER_MAPPINGS: dict[str, str] = {
+    "container.id": "container_id",
+    "container.name": "container_name",
+    "container.image.name": "image_name",
+    "container.image.tag": "image_tag",
+    "container.runtime": "runtime",
+    "cloud.provider": "cloud_provider",
+    "cloud.region": "region",
+    "cloud.availability_zone": "zone",
+    "aws.ecs.task.family": "task_family",
+    "aws.ecs.task.arn": "task_arn",
+    "aws.ecs.cluster.arn": "ecs_cluster_name",
+    "aws.ecs.task.revision": "task_version",
+    "aws.ecs.container.arn": "ecs_container_name",
+    "k8s.container.name": "kube_container_name",
+    "k8s.cluster.name": "kube_cluster_name",
+    "k8s.deployment.name": "kube_deployment",
+    "k8s.replicaset.name": "kube_replica_set",
+    "k8s.statefulset.name": "kube_stateful_set",
+    "k8s.daemonset.name": "kube_daemon_set",
+    "k8s.job.name": "kube_job",
+    "k8s.cronjob.name": "kube_cronjob",
+    "k8s.namespace.name": "kube_namespace",
+    "k8s.pod.name": "pod_name",
+}
+
+# otel_mapping/attributes.rs:53-76
+HTTP_MAPPINGS: dict[str, str] = {
+    "client.address": "http.client_ip",
+    "http.response.body.size": "http.response.content_length",
+    "http.response.status_code": "http.status_code",
+    "http.request.body.size": "http.request.content_length",
+    "http.request.header.referrer": "http.referrer",
+    "http.request.method": "http.method",
+    "http.route": "http.route",
+    "network.protocol.version": "http.version",
+    "server.address": "http.server_name",
+    "url.full": "http.url",
+    "user_agent.original": "http.useragent",
+}
+
+
+def find_with_span_precedence(
+    key: str,
+    span_attrs: Column,
+    scope_attrs: Column | None = None,
+    resource_attrs: Column | None = None,
+) -> Column:
+    """Lowest level wins: span → scope → resource
+    (attributes.rs:27-77)."""
+    parts = [F.element_at(span_attrs, key)]
+    if scope_attrs is not None:
+        parts.append(F.element_at(scope_attrs, key))
+    if resource_attrs is not None:
+        parts.append(F.element_at(resource_attrs, key))
+    return F.coalesce(*parts)
+
+
+def find_with_resource_precedence(
+    keys: list[str],
+    span_attrs: Column,
+    resource_attrs: Column,
+) -> Column:
+    """Resource wins, first key found at the highest precedence
+    (attributes.rs:79-113): every key checked in the resource map
+    before ANY key is checked in the span map."""
+    parts = [F.element_at(resource_attrs, k) for k in keys]
+    parts += [F.element_at(span_attrs, k) for k in keys]
+    return F.coalesce(*parts)
+
+
+def container_tags(resource_attrs: Column) -> Column:
+    """Resource attrs → datadog container tag map: CONTAINER_MAPPINGS
+    renames + `datadog.container.tag.<name>` passthrough
+    (attributes.rs:77+)."""
+    renamed = F.map_from_entries(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("key"),
+                        F.element_at(resource_attrs, otel).alias("value"),
+                    )
+                    for otel, dd in CONTAINER_MAPPINGS.items()
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    custom = F.map_filter(
+        F.transform_keys(
+            F.map_filter(
+                resource_attrs,
+                lambda k, v: k.startswith(CUSTOM_CONTAINER_TAG_PREFIX),
+            ),
+            lambda k, v: F.substring(
+                k, len(CUSTOM_CONTAINER_TAG_PREFIX) + 1, 1 << 20
+            ),
+        ),
+        lambda k, v: k != "",
+    )
+    return F.map_concat(renamed, custom)
+
+
+def dd_span_transform(
+    spans: DataFrame,
+    span_attrs_col: str = "span_attributes",
+    resource_attrs_col: str = "resource_attributes",
+) -> DataFrame:
+    """OTLP span rows → Datadog span essentials (transformer.rs:40-70):
+    env, container_id, lang, sdk_version extracted with the reference's
+    precedence rules; http.* attrs renamed per HTTP_MAPPINGS; container
+    tags from the resource map."""
+    sa = F.coalesce(
+        F.col(span_attrs_col), F.create_map().cast("map<string,string>")
+    )
+    ra = F.coalesce(
+        F.col(resource_attrs_col),
+        F.create_map().cast("map<string,string>"),
+    )
+    http_renamed = F.map_from_entries(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("key"),
+                        F.element_at(sa, otel).alias("value"),
+                    )
+                    for otel, dd in HTTP_MAPPINGS.items()
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    return spans.withColumns(
+        {
+            "dd_env": find_with_resource_precedence(
+                ["deployment.environment.name", "deployment.environment"],
+                sa,
+                ra,
+            ),
+            "dd_container_id": find_with_resource_precedence(
+                ["container.id", "k8s.pod.uid"], sa, ra
+            ),
+            "dd_lang": F.element_at(ra, "telemetry.sdk.language"),
+            "dd_sdk_version": F.element_at(ra, "telemetry.sdk.version"),
+            "dd_http_tags": http_renamed,
+            "dd_container_tags": container_tags(ra),
+        }
+    )

@@ -1,0 +1,98 @@
+"""Custom stateful streaming operators — applyInPandasWithState.
+
+Two rotel-analog stateful kernels the built-in operators can't
+express:
+
+  * offset high-watermark per source file — the receiver's offset
+    tracker (/root/reference/src/receivers/file/offset_tracker.rs:
+    50-63): state carries the highest contiguously-committed offset
+    per file; re-delivered rows at or below it are suppressed, so a
+    restarted stream never re-emits committed lines (at-least-once →
+    effectively-once across restarts).
+  * cross-batch exact dedup — state carries the set of content hashes
+    already emitted per key group; duplicates arriving in LATER
+    micro-batches are dropped (stateless dropDuplicates only dedupes
+    within the watermark window).
+
+Both are Arrow-batched pandas kernels over grouped state
+(GroupState), the documented custom-stateful path (task brief:
+`applyInPandasWithState` for custom stateful operators).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def offset_tracker_stream(
+    df: DataFrame,
+    file_col: str = "source_file",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Streaming offset high-watermark per file (offset_tracker.rs
+    analog). Emits only rows with offset > committed watermark and
+    advances the watermark to the max emitted offset."""
+    out_schema = f"{file_col} string, {offset_col} long"
+    state_schema = "committed long"
+
+    def track(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        committed = state.get[0] if state.exists else -1
+        best = committed
+        for pdf in pdfs:
+            fresh = pdf[pdf[offset_col] > committed]
+            if len(fresh):
+                best = max(best, int(fresh[offset_col].max()))
+                yield fresh[[file_col, offset_col]]
+        state.update((best,))
+
+    return df.groupBy(file_col).applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_dedup_stream(
+    df: DataFrame,
+    key_col: str = "shard",
+    hash_col: str = "content_hash",
+    max_hashes_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Cross-batch exact dedup: per key group, drop rows whose content
+    hash was emitted in ANY earlier micro-batch. State is the sorted
+    hash list per key (bounded; at scale the key is a hash shard so
+    state partitions horizontally)."""
+    out_schema = f"{key_col} string, {hash_col} long"
+    state_schema = "hashes array<long>"
+
+    def dedup(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen: set[Any] = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mask = ~pdf[hash_col].isin(seen)
+            fresh = pdf[mask].drop_duplicates(subset=[hash_col])
+            if len(fresh):
+                seen.update(int(h) for h in fresh[hash_col])
+                yield fresh[[key_col, hash_col]]
+        state.update((sorted(seen)[:max_hashes_per_key],))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -28,8 +28,9 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 CHILD = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, "{repo}")
+os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
 from rotel_spark.session import build_spark
 from bench import run_pipeline_bench
 
@@ -90,7 +91,7 @@ def main() -> None:
     # ≥60s of work at N cores (BASELINE.md protocol)
     reps = int(os.environ.get("ROTEL_BENCH_REPS", "3200"))
     passes = int(os.environ.get("ROTEL_SCALE_PASSES", "2"))
-    rounds = int(os.environ.get("ROTEL_SCALE_ROUNDS", "2"))
+    rounds = int(os.environ.get("ROTEL_SCALE_ROUNDS", "3"))
 
     lo_pq, hi_pq, lo_no, hi_no = [], [], [], []
     for _ in range(rounds):  # interleave levels across noise windows

@@ -1,0 +1,80 @@
+"""Datadog span transform: precedence search + mapping tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rotel_spark.sinks.datadog import (
+    CONTAINER_MAPPINGS,
+    HTTP_MAPPINGS,
+    dd_span_transform,
+    find_with_resource_precedence,
+    find_with_span_precedence,
+)
+
+
+def _spans(spark):
+    return spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(
+        "id",
+        F.create_map(
+            F.lit("http.request.method"), F.lit("GET"),
+            F.lit("http.response.status_code"), F.lit("503"),
+            F.lit("deployment.environment.name"), F.lit("span-env"),
+        ).alias("span_attributes"),
+        F.create_map(
+            F.lit("deployment.environment"), F.lit("res-env"),
+            F.lit("k8s.pod.name"), F.lit("pod-1"),
+            F.lit("k8s.pod.uid"), F.lit("uid-9"),
+            F.lit("telemetry.sdk.language"), F.lit("python"),
+            F.lit("datadog.container.tag.team"), F.lit("core"),
+        ).alias("resource_attributes"),
+    )
+
+
+def test_span_precedence_lowest_wins(spark):
+    """attributes.rs:27-77: span attr shadows resource attr."""
+    df = _spans(spark).select(
+        find_with_span_precedence(
+            "deployment.environment.name",
+            F.col("span_attributes"),
+            resource_attrs=F.col("resource_attributes"),
+        ).alias("v")
+    )
+    assert df.collect()[0].v == "span-env"
+
+
+def test_resource_precedence_highest_wins(spark):
+    """attributes.rs:79-113: ALL keys checked in resource before any
+    key is checked in the span."""
+    df = _spans(spark).select(
+        find_with_resource_precedence(
+            ["deployment.environment.name", "deployment.environment"],
+            F.col("span_attributes"),
+            F.col("resource_attributes"),
+        ).alias("v")
+    )
+    # resource only has the 2nd key, but resource level still wins
+    assert df.collect()[0].v == "res-env"
+
+
+def test_dd_span_transform_tables(spark):
+    row = dd_span_transform(_spans(spark)).collect()[0]
+    assert row.dd_env == "res-env"
+    assert row.dd_container_id == "uid-9"  # k8s.pod.uid fallback
+    assert row.dd_lang == "python"
+    assert row.dd_http_tags == {
+        "http.method": "GET",
+        "http.status_code": "503",
+    }
+    assert row.dd_container_tags["pod_name"] == "pod-1"
+    assert row.dd_container_tags["team"] == "core"  # custom prefix
+
+
+def test_mapping_tables_match_reference_counts():
+    """otel_mapping/attributes.rs:11-76 — full table parity."""
+    assert len(CONTAINER_MAPPINGS) == 23
+    assert len(HTTP_MAPPINGS) == 11
+    assert CONTAINER_MAPPINGS["k8s.pod.name"] == "pod_name"
+    assert HTTP_MAPPINGS["url.full"] == "http.url"

@@ -28,6 +28,20 @@ def test_log_record_row_shape(spark, sf_unit):
     # exact 15-column set and order (schema.rs:119-141); nullability
     # may be tighter than the declared schema (coalesce defaults)
     assert row_df.columns == LOG_RECORD_COLUMNS
+
+    # opt-in 16th column (schema.rs with_event_name)
+    from rotel_spark.schema import log_record_columns
+
+    with_en = to_log_record_row(
+        df.withColumn("event_name", F.lit("page.parsed")),
+        with_event_name=True,
+    )
+    assert with_en.columns == log_record_columns(True)
+    assert with_en.columns[-1] == "EventName"
+    assert with_en.select("EventName").first()[0] == "page.parsed"
+    # default '' when the source column is absent
+    no_src = to_log_record_row(df, with_event_name=True)
+    assert no_src.select("EventName").first()[0] == ""
     assert [(f.name, f.dataType) for f in row_df.schema.fields] == [
         (f.name, f.dataType) for f in LOG_RECORD_SCHEMA.fields
     ]
