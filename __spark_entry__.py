@@ -399,7 +399,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — md5-token-hash + bit-vote, expression-only;
+    """SimHash signatures — md5-token-hash + bit-vote, batch-vectorized;
     DuckDB oracle reproduces every bit (dedup.simhash_oracle_ctes)."""
     from rotel_spark.operators.dedup import simhash64
 
@@ -783,6 +783,52 @@ def q_otlp_request_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing (training-data
+    op): md5-hash bucket sampling with per-stratum rates — retry-
+    stable, pushdown-friendly, exact DuckDB twin."""
+    from rotel_spark.operators.filters import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5},
+        default_rate=0.1,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction error —
+    per-vector scale, engine-portable floor(x+0.5) rounding."""
+    from rotel_spark.functions.embeddings import (
+        reconstruction_mse,
+        with_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = with_quantized(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale_r"),
+        F.aggregate(
+            F.transform("q_vec", lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_l1"),
+        F.round(
+            reconstruction_mse(
+                F.col("embedding"), F.col("q_vec"), F.col("q_scale")
+            ),
+            9,
+        ).alias("mse_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -831,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_attrs_clickhouse": q_typed_attrs_clickhouse,
         "retry_classification": q_retry_classification,
         "otlp_request_roundtrip": q_otlp_request_roundtrip,
+        "stratified_sample": q_stratified_sample,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -840,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from rotel_spark.functions.hashing import md5_hash64_sql
     from rotel_spark.sinks.retry import classify_http_sql
 
     retry_class_sql = classify_http_sql("status")
@@ -1227,6 +1276,32 @@ SELECT 1 AS n_requests,
        CAST(ceil(count(*) / 2048.0) AS INT) AS n_resource_logs,
        count(*) AS n_log_records
 FROM pages WHERE fmt <> 9
+""",
+        "stratified_sample": f"""
+WITH h AS (
+  SELECT lang, {md5_hash64_sql("doc_id")} % 10000 AS b FROM documents)
+SELECT lang, count(*) AS n_kept FROM h
+WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+          WHEN 'fr' THEN 10000 WHEN 'es' THEN 5000 ELSE 1000 END
+GROUP BY 1
+""",
+        "embedding_quantize": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS am FROM e),
+qq AS (SELECT vec_id, v,
+        CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END AS scale,
+        list_transform(v, x -> CAST(floor(
+          x / (CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END) + 0.5
+        ) AS INT)) AS q
+       FROM s)
+SELECT vec_id, round(scale, 6) AS scale_r,
+  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+  round(list_sum(list_transform(range(1, len(v) + 1),
+        i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / len(v),
+        9) AS mse_r
+FROM qq
 """,
     }
 

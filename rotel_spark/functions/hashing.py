@@ -40,3 +40,21 @@ def salt_column(key: Column, n_salt: int) -> Column:
     """Salt for hot-key mitigation before routing aggregates/writes
     (north rule; SURVEY.md §4): pmod(xxhash64(key), n_salt)."""
     return F.pmod(F.xxhash64(key), F.lit(n_salt)).cast("int")
+
+
+def md5_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a
+    BIGINT — bit-identical in DuckDB via
+    CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT), so samplers
+    built on it are oracle-checkable (xxhash64 has no DuckDB twin)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def md5_hash64_sql(col: str) -> str:
+    """DuckDB twin of md5_hash64."""
+    return (
+        "CAST(concat('0x', substring(md5(CAST("
+        f"{col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )

@@ -37,3 +37,37 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
 
 def severity_floor(df: DataFrame, min_severity: int) -> Column:
     return df.filter(F.col("severity_number") >= min_severity)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus balancing (e.g.
+    language rebalancing of a training set): keep a row iff
+    md5_hash64(id) % buckets < rate(stratum)·buckets.
+
+    Deterministic (retry-stable, oracle-checkable) unlike sampleBy's
+    RNG; one narrow filter, no shuffle — at 100 TB this is a pushdown-
+    friendly scan predicate. The md5-based hash has an exact DuckDB
+    twin (functions.hashing.md5_hash64_sql).
+    """
+    from ..functions.hashing import md5_hash64
+
+    h = F.pmod(md5_hash64(F.col(id_col)), F.lit(buckets))
+    keep = F.lit(None).cast("boolean")
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        thr = h < int(rate * buckets)
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    expr = (
+        expr.otherwise(h < int(default_rate * buckets))
+        if expr is not None
+        else (h < int(default_rate * buckets))
+    )
+    return df.filter(expr)
