@@ -587,8 +587,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction plumbing (decode stubbed;
-    deterministic fake kernel) — rows-only check."""
+    """Binary-payload feature extraction: REAL BMP/WAV decoders over
+    mapInPandas (video = documented byte-histogram fallback); the
+    oracle recomputes features from the generator arithmetic without
+    touching bytes — full hash check."""
     from rotel_spark.operators.multimodal import (
         extract_features,
         synthetic_media,

@@ -171,7 +171,18 @@ def redact(
         summary_map = F.map_filter(
             F.create_map(*pairs), lambda k, v: (v != "0") & (v != "")
         )
-        out_map = F.map_concat(out_map, summary_map)
+        # Input maps may already carry redaction.<ctx>.* keys (e.g. a
+        # re-run over already-redacted data); under Spark's default
+        # mapKeyDedupPolicy=EXCEPTION a duplicate key would turn that
+        # data condition into a job failure. Drop stale summary keys
+        # from the base map first — this module is never-fatal.
+        out_map = F.map_concat(
+            F.map_filter(
+                out_map,
+                lambda k, v: ~k.startswith(f"redaction.{ctx}."),
+            ),
+            summary_map,
+        )
 
     out = df.withColumn("redacted_count", n_masked + n_deleted).withColumn(
         col, out_map

@@ -128,7 +128,15 @@ def container_tags(resource_attrs: Column) -> Column:
         ),
         lambda k, v: k != "",
     )
-    return F.map_concat(renamed, custom)
+    # A resource can carry BOTH an otel-mapped key (container.id →
+    # container_id) and a datadog.container.tag.container_id alias of
+    # the same tag; default mapKeyDedupPolicy=EXCEPTION would fail the
+    # job. Otel-mapped wins (reference applies mapping tables first);
+    # drop colliding custom keys before the concat.
+    dd_names = list(CONTAINER_MAPPINGS.values())
+    return F.map_concat(
+        renamed, F.map_filter(custom, lambda k, v: ~k.isin(dd_names))
+    )
 
 
 def dd_span_transform(

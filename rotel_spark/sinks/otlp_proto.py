@@ -37,6 +37,11 @@ from pyspark.sql import types as T
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # two's-complement mask: proto int64 negatives encode as ten
+        # 0xFF-ish bytes; without this Python's arithmetic >> loops
+        # forever (and a bad row would hang the executor task).
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -71,6 +76,11 @@ def _varint_field(field: int, n: int) -> bytes:
 def _fixed64_field(field: int, n: int) -> bytes:
     if not n:
         return b""
+    if n < 0:
+        # OTLP time fields are uint64 nanoseconds; a negative value is
+        # corrupt input — fail the row loudly instead of OverflowError
+        # deep in to_bytes (or a hung varint loop).
+        raise ValueError(f"fixed64 field {field} negative: {n}")
     return _tag(field, 1) + int(n).to_bytes(8, "little", signed=False)
 
 

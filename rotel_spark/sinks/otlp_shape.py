@@ -37,30 +37,31 @@ def to_resource_logs_tree(
 ) -> DataFrame:
     """rows → one row per (resource, chunk): {resource_attributes,
     log_records: array<struct>}. Chunking mirrors the batcher's
-    split-oversized-tree rule."""
+    split-oversized-tree rule.
+
+    Bounded-buffer shape: the chunk id is assigned BEFORE the groupBy
+    (row_number within resource / max), so no aggregation buffer ever
+    holds more than max_records_per_resource records. The previous
+    collect_list(ALL records)-then-slice shape bounded the output but
+    not the intermediate buffer — one hot service with billions of
+    rows would OOM an executor at scale."""
+    from pyspark.sql.window import Window
+
     fields = log_fields or LOG_FIELDS
     rec = F.struct(*[F.col(f) for f in fields])
-    grouped = (
+    w = Window.partitionBy("_rkey").orderBy(*[F.col(f) for f in fields])
+    return (
         df.withColumn("_rkey", sorted_map_repr(F.col(resource_col)))
-        .groupBy("_rkey")
+        .withColumn(
+            "_chunk",
+            ((F.row_number().over(w) - 1) / max_records_per_resource).cast(
+                "int"
+            ),
+        )
+        .groupBy("_rkey", "_chunk")
         .agg(
             F.first(resource_col).alias(resource_col),
-            F.collect_list(rec).alias("_all"),
-        )
-    )
-    # split oversized resources into ≤max chunks (batch split analog)
-    n_chunks = F.ceil(F.size("_all") / max_records_per_resource).cast("int")
-    return (
-        grouped.withColumn(
-            "_chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-        )
-        .withColumn(
-            "log_records",
-            F.slice(
-                "_all",
-                F.col("_chunk") * max_records_per_resource + 1,
-                max_records_per_resource,
-            ),
+            F.collect_list(rec).alias("log_records"),
         )
         .select(resource_col, "_chunk", "log_records")
     )
@@ -92,6 +93,13 @@ def to_export_request_json(
     attribute maps as KeyValue lists. one_request=False emits one
     request per ResourceLogs row (useful for per-resource routing,
     e.g. the Kafka split rule, exporter.rs:363-397).
+
+    BOUND: one_request=True collect_lists every ResourceLogs JSON into
+    a single driver-visible row. It is only valid at the per-exporter-
+    batch boundary — the input tree must be ONE batch (≤ 8192 leaves
+    by the upstream batcher's split rule), never a whole table. For
+    table-scale output use one_request=False, which stays fully
+    distributed (one request per ResourceLogs row).
 
     Output column: `request_json` (plus `n_records` bookkeeping).
     """

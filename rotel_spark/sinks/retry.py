@@ -113,27 +113,40 @@ def next_attempt_delay(
 
 
 def split_by_retry(
-    df: DataFrame, status_col: str = "sink_status"
+    df: DataFrame,
+    status_col: str = "sink_status",
+    cfg: RetryConfig = RetryConfig(),
 ) -> dict[str, DataFrame]:
     """Split a sink-result DataFrame by failure class. Retryable rows
-    get attempt bookkeeping columns for the retry table."""
+    get attempt bookkeeping columns for the retry table.
+
+    Retry is NOT indefinite (retry.rs:226-239): once a row's attempt
+    count exceeds the backoff schedule (i.e. max_elapsed would be
+    passed), it is routed to 'permanent' — a batch re-drive loop built
+    on this dead-letters exhausted batches instead of spinning. With
+    cfg.indefinite the schedule never exhausts (retries forever)."""
     classed = df.withColumn(
         "_retry_class", classify_http_expr(F.col(status_col))
+    ).withColumn(
+        "attempt",
+        F.coalesce(F.col("attempt"), F.lit(0)) + 1
+        if "attempt" in df.columns
+        else F.lit(1),
+    )
+    max_attempts = len(backoff_schedule(cfg))
+    exhausted = (
+        F.lit(False)
+        if cfg.indefinite
+        else F.col("attempt") > F.lit(max_attempts)
     )
     retry = (
-        classed.filter(F.col("_retry_class") == "retryable")
-        .withColumn(
-            "attempt",
-            F.coalesce(F.col("attempt") + 1, F.lit(1))
-            if "attempt" in df.columns
-            else F.lit(1),
-        )
+        classed.filter((F.col("_retry_class") == "retryable") & ~exhausted)
         .withColumn(
             "next_attempt_delay_s",
             F.least(
-                F.lit(RetryConfig().initial_backoff)
+                F.lit(cfg.initial_backoff)
                 * F.pow(F.lit(2.0), F.col("attempt") - 1),
-                F.lit(RetryConfig().max_backoff),
+                F.lit(cfg.max_backoff),
             ),
         )
     )
@@ -143,6 +156,7 @@ def split_by_retry(
         ),
         "retryable": retry.drop("_retry_class"),
         "permanent": classed.filter(
-            F.col("_retry_class") == "permanent"
+            (F.col("_retry_class") == "permanent")
+            | ((F.col("_retry_class") == "retryable") & exhausted)
         ).drop("_retry_class"),
     }

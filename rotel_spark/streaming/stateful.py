@@ -44,12 +44,19 @@ def offset_tracker_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        committed = state.get[0] if state.exists else -1
-        best = committed
+        # Filter against the RUNNING watermark (`best`), not only the
+        # prior-batch `committed`: re-delivered duplicate offsets that
+        # arrive within one micro-batch (or across pdf chunks of it)
+        # must also be suppressed for the effectively-once claim to
+        # hold intra-batch. Each chunk is offset-deduped, then only
+        # strictly-advancing offsets are emitted.
+        best = state.get[0] if state.exists else -1
         for pdf in pdfs:
-            fresh = pdf[pdf[offset_col] > committed]
+            fresh = pdf[pdf[offset_col] > best].drop_duplicates(
+                subset=[offset_col]
+            )
             if len(fresh):
-                best = max(best, int(fresh[offset_col].max()))
+                best = int(fresh[offset_col].max())
                 yield fresh[[file_col, offset_col]]
         state.update((best,))
 
@@ -69,25 +76,45 @@ def stateful_dedup_stream(
     max_hashes_per_key: int = 1_000_000,
 ) -> DataFrame:
     """Cross-batch exact dedup: per key group, drop rows whose content
-    hash was emitted in ANY earlier micro-batch. State is the sorted
-    hash list per key (bounded; at scale the key is a hash shard so
-    state partitions horizontally)."""
-    out_schema = f"{key_col} string, {hash_col} long"
-    state_schema = "hashes array<long>"
+    hash was emitted in ANY earlier micro-batch. State is the hash
+    list per key in ARRIVAL order (bounded; at scale the key is a hash
+    shard so state partitions horizontally).
+
+    Eviction policy: when state exceeds max_hashes_per_key, the OLDEST
+    hashes (by first arrival) are evicted — FIFO, not hash-value order
+    — so recent duplicates keep being suppressed and what degrades is
+    re-admission of the oldest content. Truncation is observable: the
+    state carries an `evicted` counter and every emitted row carries
+    it, so a monitor can alert when the at-most-once-per-hash
+    guarantee starts decaying."""
+    out_schema = f"{key_col} string, {hash_col} long, evicted long"
+    state_schema = "hashes array<long>, evicted long"
 
     def dedup(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        seen: set[Any] = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            order: list[int] = list(state.get[0])
+            evicted = int(state.get[1])
+        else:
+            order, evicted = [], 0
+        seen: set[Any] = set(order)
         for pdf in pdfs:
             mask = ~pdf[hash_col].isin(seen)
             fresh = pdf[mask].drop_duplicates(subset=[hash_col])
             if len(fresh):
-                seen.update(int(h) for h in fresh[hash_col])
-                yield fresh[[key_col, hash_col]]
-        state.update((sorted(seen)[:max_hashes_per_key],))
+                new_hashes = [int(h) for h in fresh[hash_col]]
+                seen.update(new_hashes)
+                order.extend(new_hashes)
+                out = fresh[[key_col, hash_col]].copy()
+                out["evicted"] = evicted
+                yield out
+        if len(order) > max_hashes_per_key:
+            evicted += len(order) - max_hashes_per_key
+            order = order[-max_hashes_per_key:]
+        state.update((order, evicted))
 
     return df.groupBy(key_col).applyInPandasWithState(
         dedup,

@@ -117,26 +117,27 @@ def spans_to_resource_tree(
     resource chunk, spans nested) — the traces twin of
     sinks.otlp_shape.to_resource_logs_tree; leaf count = spans
     (batch_resources.rs:126-130 rule)."""
+    from pyspark.sql.window import Window
+
     rec = F.struct(
         "trace_id", "span_id", "parent_span_id", "name", "kind",
         "start_time_unix_nano", "end_time_unix_nano", "status_code",
     )
-    grouped = spans.groupBy("service_name").agg(
-        F.collect_list(rec).alias("_all")
+    # chunk id assigned BEFORE the groupBy so no aggregation buffer
+    # exceeds one chunk (bounded-buffer shape; a hot service with
+    # billions of spans must not materialize as one collect_list).
+    w = Window.partitionBy("service_name").orderBy(
+        "trace_id", "span_id", "start_time_unix_nano"
     )
-    n_chunks = F.ceil(F.size("_all") / max_spans_per_resource).cast("int")
     return (
-        grouped.withColumn(
-            "_chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-        )
-        .withColumn(
-            "spans",
-            F.slice(
-                "_all",
-                F.col("_chunk") * max_spans_per_resource + 1,
-                max_spans_per_resource,
+        spans.withColumn(
+            "_chunk",
+            ((F.row_number().over(w) - 1) / max_spans_per_resource).cast(
+                "int"
             ),
         )
+        .groupBy("service_name", "_chunk")
+        .agg(F.collect_list(rec).alias("spans"))
         .select("service_name", "_chunk", "spans")
     )
 

@@ -327,3 +327,38 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8")
+
+
+def test_redaction_rerun_over_redacted_data_not_fatal(spark):
+    """ADVICE r2: input already carrying redaction.<ctx>.* summary keys
+    (a re-run over redacted data) must not throw under
+    mapKeyDedupPolicy=EXCEPTION — stale summary keys are replaced."""
+    df = _attr_df(
+        spark,
+        {
+            "ip": "10.0.0.1",
+            "redaction.log.masked_keys.count": "9",  # stale from prior run
+        },
+    )
+    out = redact(df, blocked_value_patterns=[r"^\d+\.\d+\.\d+\.\d+$"])
+    a = attrs_of(out)
+    assert a["ip"] == "[REDACTED]"
+    assert a["redaction.log.masked_keys.count"] == "1"  # replaced, not dup
+
+
+def test_datadog_container_tags_alias_collision_not_fatal(spark):
+    """ADVICE r2: resource carrying BOTH an otel-mapped key and a
+    datadog.container.tag.* alias of the same tag must not throw;
+    otel-mapped wins."""
+    from rotel_spark.sinks.datadog import container_tags
+
+    df = _attr_df(spark, {
+        "container.id": "abc",
+        "datadog.container.tag.container_id": "zzz",
+        "datadog.container.tag.custom": "keep",
+    }).withColumnRenamed("log_attributes", "resource_attributes")
+    out = df.select(
+        container_tags(F.col("resource_attributes")).alias("tags")
+    ).collect()[0].tags
+    assert out["container_id"] == "abc"  # otel mapping wins
+    assert out["custom"] == "keep"

@@ -103,3 +103,15 @@ def test_spark_boundary_encode_decode(spark):
         )
         assert decoded[0]["records"][0]["body"].startswith("b")
     assert total == 50
+
+
+def test_negative_int_encodes_twos_complement():
+    """ADVICE r2: negative varints must not hang; proto3 int64
+    negatives encode as two's-complement (10 bytes)."""
+    from rotel_spark.sinks.otlp_proto import _varint, _fixed64_field
+    import pytest
+
+    b = _varint(-1)
+    assert len(b) == 10 and b[-1] == 0x01  # canonical -1 encoding
+    with pytest.raises(ValueError):
+        _fixed64_field(1, -5)  # negative uint64 timestamp fails loud

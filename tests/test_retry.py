@@ -58,3 +58,25 @@ def test_split_by_retry_df(spark):
     assert all(r.attempt == 1 for r in retry.values())
     assert all(r.next_attempt_delay_s == 5.0 for r in retry.values())
     assert {r.id for r in parts["permanent"].collect()} == {3}
+
+
+def test_split_by_retry_exhaustion_dead_letters(spark):
+    """ADVICE r2: rows whose attempt count exceeds the backoff
+    schedule (max_elapsed deadline) must dead-letter, not retry
+    forever."""
+    from rotel_spark.sinks.retry import RetryConfig, backoff_schedule
+
+    cfg = RetryConfig()
+    max_attempts = len(backoff_schedule(cfg))  # 11 with defaults
+    df = spark.createDataFrame(
+        [(1, 503, max_attempts - 1), (2, 503, max_attempts)],
+        "id int, sink_status int, attempt int",
+    )
+    parts = split_by_retry(df, cfg=cfg)
+    assert {r.id for r in parts["retryable"].collect()} == {1}
+    assert {r.id for r in parts["permanent"].collect()} == {2}
+    # indefinite mode never exhausts
+    parts_inf = split_by_retry(
+        df, cfg=RetryConfig(indefinite=True)
+    )
+    assert {r.id for r in parts_inf["retryable"].collect()} == {1, 2}

@@ -90,3 +90,55 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         spark, src, schema, stateful_dedup_stream, out, cp
     )
     assert sorted(r.content_hash for r in both.collect()) == [1, 2, 3, 4]
+
+
+def test_offset_tracker_intra_batch_duplicates(spark, tmp_path):
+    """Re-delivered duplicate offsets arriving WITHIN one micro-batch
+    are suppressed too (ADVICE r2): 0,1,2,1,2,3 in a single batch must
+    emit each offset exactly once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = tmp_path / "cp"
+    schema = "source_file string, offset long"
+    _write_jsonl(
+        src / "a.json",
+        [{"source_file": "f1", "offset": o} for o in (0, 1, 2, 1, 2, 3)],
+    )
+    out = tmp_path / "out"
+    first = _run_available_now(
+        spark, src, schema, offset_tracker_stream, out, cp
+    )
+    got = sorted(r.offset for r in first.collect())
+    assert got == [0, 1, 2, 3]  # each exactly once, no intra-batch dupes
+
+
+def test_stateful_dedup_fifo_eviction_observable(spark, tmp_path):
+    """Eviction is FIFO (oldest hashes evicted) and observable via the
+    `evicted` counter: with cap=2, hashes 1,2,3 in batch one evict 1;
+    batch two re-admits 1 (guarantee decay — by design, counted) but
+    still suppresses recent 3."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = tmp_path / "cp"
+    schema = "shard string, content_hash long"
+    _write_jsonl(
+        src / "a.json",
+        [{"shard": "s0", "content_hash": h} for h in (1, 2, 3)],
+    )
+    out = tmp_path / "out"
+
+    def op(df):
+        return stateful_dedup_stream(df, max_hashes_per_key=2)
+
+    first = _run_available_now(spark, src, schema, op, out, cp)
+    assert sorted(r.content_hash for r in first.collect()) == [1, 2, 3]
+    assert all(r.evicted == 0 for r in first.collect())  # pre-eviction batch
+
+    _write_jsonl(
+        src / "b.json",
+        [{"shard": "s0", "content_hash": h} for h in (1, 3, 4)],
+    )
+    both = _run_available_now(spark, src, schema, op, out, cp)
+    batch2 = [r for r in both.collect() if r.evicted == 1]
+    # 1 was evicted (oldest) → re-emitted; 3 is recent → suppressed; 4 new
+    assert sorted(r.content_hash for r in batch2) == [1, 4]
