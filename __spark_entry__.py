@@ -671,6 +671,73 @@ def q_emf_metrics_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emf_group_datapoints(events_to_datapoints(events))
 
 
+def q_metric_type_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five OTLP metric Data variants (Gauge/Sum/Histogram/
+    ExponentialHistogram/Summary) sized by DATAPOINT leaf count and
+    batch-split with one combined ≤max rule
+    (batch_resources.rs:61-77; batch.rs:15-23)."""
+    from rotel_spark.telemetry import (
+        events_to_typed_datapoints,
+        metrics_batch_sizing,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return metrics_batch_sizing(
+        events_to_typed_datapoints(events), max_size=2048
+    )
+
+
+def q_emf_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch EMF JSON log document emit — the _aws.CloudWatchMetrics
+    envelope with Namespace / sorted Dimensions / Metrics directives and
+    the metric value as a top-level statistical set
+    (awsemf/transformer.rs:563-618). Every graded field is re-EXTRACTED
+    from the emitted JSON text (envelope via JSON paths, the
+    dynamic-key stat set via regex), proving the document decodes."""
+    from rotel_spark.telemetry import emf_documents
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = emf_documents(events)
+    num = r'([-0-9.eE]+)[,}]'
+    return docs.select(
+        "service",
+        "event_type",
+        F.get_json_object("emf_json", "$._aws.Timestamp")
+        .cast("long")
+        .alias("ts_ms"),
+        F.get_json_object(
+            "emf_json", "$._aws.CloudWatchMetrics[0].Namespace"
+        ).alias("namespace"),
+        F.get_json_object(
+            "emf_json", "$._aws.CloudWatchMetrics[0].Dimensions[0]"
+        ).alias("dim_keys"),
+        F.get_json_object(
+            "emf_json", "$._aws.CloudWatchMetrics[0].Metrics[0].Name"
+        ).alias("metric_name"),
+        F.get_json_object(
+            "emf_json", "$._aws.CloudWatchMetrics[0].Metrics[0].Unit"
+        ).alias("unit"),
+        F.get_json_object(
+            "emf_json",
+            "$._aws.CloudWatchMetrics[0].Metrics[0].StorageResolution",
+        )
+        .cast("int")
+        .alias("storage_resolution"),
+        F.regexp_extract("emf_json", r'"Count":(\d+)', 1)
+        .cast("long")
+        .alias("dp_count"),
+        F.regexp_extract("emf_json", '"Sum":' + num, 1)
+        .cast("double")
+        .alias("dp_sum"),
+        F.regexp_extract("emf_json", '"Min":' + num, 1)
+        .cast("double")
+        .alias("dp_min"),
+        F.regexp_extract("emf_json", '"Max":' + num, 1)
+        .cast("double")
+        .alias("dp_max"),
+    )
+
+
 def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed AnyValue coercion + nested-kvlist dotted flatten
     (cvattr.rs:30-42; clickhouse transformer.rs:50-131): nested JSON
@@ -875,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_rollup": q_span_rollup,
         "span_tree_roundtrip": q_span_tree_roundtrip,
         "emf_metrics_grouping": q_emf_metrics_grouping,
+        "metric_type_batch_sizing": q_metric_type_batch_sizing,
+        "emf_document": q_emf_document,
         "typed_attrs": q_typed_attrs,
         "typed_attrs_clickhouse": q_typed_attrs_clickhouse,
         "retry_classification": q_retry_classification,
@@ -1247,6 +1316,49 @@ SELECT namespace, service, event_type, ts_minute_nano,
        round(sum(value), 6) AS sum_value_r,
        round(max(value), 6) AS max_value_r
 FROM dp GROUP BY 1, 2, 3, 4
+""",
+        "metric_type_batch_sizing": """
+WITH dp AS (
+  SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm
+  FROM events),
+g AS (SELECT service,
+        CAST(count(*) AS BIGINT) AS n_gauge,
+        CAST(count(DISTINCT event_type || '|' || CAST(tsm AS VARCHAR))
+             AS BIGINT) AS n_groups
+      FROM dp GROUP BY 1)
+SELECT service,
+       CAST(n_gauge + 4 * n_groups AS BIGINT) AS n_datapoints,
+       n_gauge,
+       n_groups AS n_sum,
+       n_groups AS n_histogram,
+       n_groups AS n_exponential_histogram,
+       n_groups AS n_summary,
+       CAST(ceil((n_gauge + 4 * n_groups) / 2048.0) AS BIGINT) AS n_batches
+FROM g
+""",
+        "emf_document": """
+WITH dp AS (
+  SELECT 'events.' || event_type || '.value' AS metric_name,
+         'rotel/events' AS namespace,
+         'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm,
+         value
+  FROM events)
+SELECT service, event_type,
+       CAST(tsm / 1000000 AS BIGINT) AS ts_ms,
+       namespace,
+       '["event_type","service"]' AS dim_keys,
+       metric_name,
+       'Count' AS unit,
+       CAST(60 AS INTEGER) AS storage_resolution,
+       CAST(count(*) AS BIGINT) AS dp_count,
+       round(sum(value), 6) AS dp_sum,
+       round(min(value), 6) AS dp_min,
+       round(max(value), 6) AS dp_max
+FROM dp GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
 """,
         "typed_attrs": """
 WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)

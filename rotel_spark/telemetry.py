@@ -142,6 +142,165 @@ def spans_to_resource_tree(
     )
 
 
+def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
+    """events → typed metric datapoints covering all five OTLP Data
+    variants the reference sizes and batches
+    (/root/reference/src/topology/batch_resources.rs:61-77: Gauge,
+    Sum, Histogram, ExponentialHistogram, Summary — the leaf unit is
+    the DATAPOINT, one per row here, regardless of type).
+
+    Deterministic derivation (oracle-friendly, no randomness):
+      gauge   — one dp per event (raw value)
+      sum     — one dp per (service, event_type, minute): total value
+                (the monotonic-counter analog)
+      histogram / exponential_histogram / summary — one dp per group
+                carrying the statistical set (count/sum/min/max) the
+                EMF transformer emits for those types
+                (awsemf/transformer.rs:592-614).
+    """
+    base = events_to_datapoints(events)
+    gauge = base.select(
+        "metric_name",
+        F.lit("gauge").alias("metric_type"),
+        "namespace",
+        "service",
+        "event_type",
+        "ts_minute_nano",
+        F.lit(1).cast("long").alias("dp_count"),
+        F.round(F.col("value"), 6).alias("dp_sum"),
+        F.round(F.col("value"), 6).alias("dp_min"),
+        F.round(F.col("value"), 6).alias("dp_max"),
+    )
+    grouped = base.groupBy(
+        "namespace", "service", "event_type", "ts_minute_nano"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum("value"), 6).alias("_sum"),
+        F.round(F.min("value"), 6).alias("_min"),
+        F.round(F.max("value"), 6).alias("_max"),
+    )
+    typed = []
+    for mtype, suffix in (
+        ("sum", "total"),
+        ("histogram", "hist"),
+        ("exponential_histogram", "exphist"),
+        ("summary", "summary"),
+    ):
+        typed.append(
+            grouped.select(
+                F.concat(
+                    F.lit("events."), F.col("event_type"),
+                    F.lit(f".{suffix}"),
+                ).alias("metric_name"),
+                F.lit(mtype).alias("metric_type"),
+                "namespace",
+                "service",
+                "event_type",
+                "ts_minute_nano",
+                F.col("_n").alias("dp_count"),
+                F.col("_sum").alias("dp_sum"),
+                F.col("_min").alias("dp_min"),
+                F.col("_max").alias("dp_max"),
+            )
+        )
+    out = gauge
+    for t in typed:
+        out = out.unionByName(t)
+    return out
+
+
+def metrics_batch_sizing(
+    dps: DataFrame, max_size: int = 8192
+) -> DataFrame:
+    """Leaf-count batching over MIXED metric types: size_of counts
+    datapoints across Gauge/Sum/Histogram/ExponentialHistogram/Summary
+    alike (batch_resources.rs:61-77 — each HistogramDataPoint is ONE
+    leaf no matter how many buckets), then the ≤max_size split rule
+    (batch.rs:15-23) applies to the combined count per resource."""
+    return dps.groupBy("service").agg(
+        F.count(F.lit(1)).alias("n_datapoints"),
+        *[
+            F.sum((F.col("metric_type") == t).cast("long")).alias(f"n_{t}")
+            for t in (
+                "gauge",
+                "sum",
+                "histogram",
+                "exponential_histogram",
+                "summary",
+            )
+        ],
+        F.ceil(F.count(F.lit(1)) / max_size).cast("long").alias("n_batches"),
+    )
+
+
+def emf_documents(events: DataFrame) -> DataFrame:
+    """Grouped metrics → the CloudWatch EMF JSON log document
+    (awsemf/transformer.rs:563-618): the `_aws.CloudWatchMetrics`
+    envelope with Namespace / sorted Dimension keys / Metrics
+    directives (Unit defaults "Count", StorageResolution 60), label
+    fields at top level, and the metric value as a statistical set
+    {Count, Sum, Min, Max} (the histogram emit shape, :592-605).
+    The metric-name field sits at the TOP LEVEL of the document with a
+    data-dependent key (emf_obj.insert(metric_name, ...) in the
+    reference), so the document is assembled from to_json fragments —
+    all dynamic keys/values here are identifier-safe (no escaping
+    needed; service/event_type/metric_name are [a-z0-9.-]).
+
+    Output: one row per (namespace, dims, timestamp) group with
+    `emf_json` plus the group keys for joining/verification."""
+    g = events_to_datapoints(events).groupBy(
+        "namespace", "service", "event_type", "ts_minute_nano"
+    ).agg(
+        F.first("metric_name").alias("metric_name"),
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum("value"), 6).alias("_sum"),
+        F.round(F.min("value"), 6).alias("_min"),
+        F.round(F.max("value"), 6).alias("_max"),
+    )
+    envelope = F.struct(
+        (F.col("ts_minute_nano") / 1000000).cast("long").alias("Timestamp"),
+        F.array(
+            F.struct(
+                F.col("namespace").alias("Namespace"),
+                # sorted dimension key set (transformer.rs:540-549)
+                F.array(
+                    F.array(F.lit("event_type"), F.lit("service"))
+                ).alias("Dimensions"),
+                F.array(
+                    F.struct(
+                        F.col("metric_name").alias("Name"),
+                        F.lit("Count").alias("Unit"),
+                        F.lit(60).alias("StorageResolution"),
+                    )
+                ).alias("Metrics"),
+            )
+        ).alias("CloudWatchMetrics"),
+    )
+    stat_set = F.struct(
+        F.col("_n").alias("Count"),
+        F.col("_sum").alias("Sum"),
+        F.col("_min").alias("Min"),
+        F.col("_max").alias("Max"),
+    )
+    doc = F.concat(
+        F.lit('{"_aws":'),
+        F.to_json(envelope),
+        F.lit(',"service":"'),
+        F.col("service"),
+        F.lit('","event_type":"'),
+        F.col("event_type"),
+        F.lit('","'),
+        F.col("metric_name"),
+        F.lit('":'),
+        F.to_json(stat_set),
+        F.lit("}"),
+    )
+    return g.select(
+        "namespace", "service", "event_type", "ts_minute_nano",
+        doc.alias("emf_json"),
+    )
+
+
 def emf_group_datapoints(dps: DataFrame) -> DataFrame:
     """AWS EMF grouping on the real metric shape: one EMF log per
     (namespace, dimension set, timestamp) group holding every metric

@@ -119,3 +119,49 @@ def test_flatten_typed_attrs_df_and_map(spark):
     }
     assert rows[1].m == {"k.n": "2", "s": "v"}
     assert rows[2].attr_entries == [] and rows[3].attr_entries == []
+
+
+def test_typed_datapoints_cover_all_five_variants(spark, sf_unit):
+    """batch_resources.rs:61-77 sizes Gauge/Sum/Histogram/
+    ExponentialHistogram/Summary alike — one leaf per datapoint row."""
+    from rotel_spark.telemetry import (
+        events_to_typed_datapoints,
+        metrics_batch_sizing,
+    )
+
+    events = spark.read.parquet(f"{sf_unit}/events.parquet")
+    dps = events_to_typed_datapoints(events)
+    types = {r.metric_type for r in dps.select("metric_type").distinct().collect()}
+    assert types == {
+        "gauge", "sum", "histogram", "exponential_histogram", "summary"
+    }
+    sized = metrics_batch_sizing(dps, max_size=100).collect()
+    for r in sized:
+        total = (
+            r.n_gauge + r.n_sum + r.n_histogram
+            + r.n_exponential_histogram + r.n_summary
+        )
+        assert r.n_datapoints == total  # leaf count mixes all types
+        assert r.n_batches == -(-total // 100)  # ceil split rule
+
+
+def test_emf_document_envelope(spark, sf_unit):
+    """transformer.rs:563-580: _aws.CloudWatchMetrics carries
+    Namespace, sorted Dimensions, Metrics directives; labels and the
+    metric stat set are top-level fields."""
+    import json
+
+    from rotel_spark.telemetry import emf_documents
+
+    events = spark.read.parquet(f"{sf_unit}/events.parquet")
+    row = emf_documents(events).limit(1).collect()[0]
+    doc = json.loads(row.emf_json)
+    cw = doc["_aws"]["CloudWatchMetrics"][0]
+    assert cw["Namespace"] == "rotel/events"
+    assert cw["Dimensions"] == [["event_type", "service"]]
+    m = cw["Metrics"][0]
+    assert m["Unit"] == "Count" and m["StorageResolution"] == 60
+    assert doc["service"] == row.service  # label field
+    stat = doc[m["Name"]]  # dynamic top-level metric key
+    assert set(stat) == {"Count", "Sum", "Min", "Max"}
+    assert doc["_aws"]["Timestamp"] == row.ts_minute_nano // 1_000_000
