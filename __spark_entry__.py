@@ -671,6 +671,134 @@ def q_emf_metrics_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emf_group_datapoints(events_to_datapoints(events))
 
 
+def q_otlp_trace_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExportTraceServiceRequest WIRE encode→decode (payload.rs:680-686;
+    public opentelemetry-proto trace.proto field numbers): span tree →
+    proto bytes per chunk → spans decoded BACK from the bytes →
+    per-service aggregates must equal the pre-encode facts."""
+    import pandas as pd
+
+    from rotel_spark.sinks.otlp_proto import (
+        decode_export_trace_request,
+        to_export_trace_request_proto,
+    )
+    from rotel_spark.telemetry import events_to_spans, spans_to_resource_tree
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tree = spans_to_resource_tree(
+        events_to_spans(events), max_spans_per_resource=512
+    )
+    reqs = to_export_trace_request_proto(tree)
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for proto in pdf["request_proto"]:
+                for entry in decode_export_trace_request(bytes(proto)):
+                    svc = entry["resource_attributes"]["service.name"]
+                    for s in entry["spans"]:
+                        rows.append(
+                            (
+                                svc,
+                                s["trace_id"],
+                                s["status_code"],
+                                s["end_time_unix_nano"]
+                                - s["start_time_unix_nano"],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["service_name", "trace_id", "status_code", "dur_ns"],
+            )
+
+    decoded = reqs.mapInPandas(
+        _decode,
+        "service_name string, trace_id string, status_code long, dur_ns long",
+    )
+    return decoded.groupBy("service_name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("trace_id").alias("n_traces"),
+        F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+        F.max("dur_ns").alias("max_dur_ns"),
+    )
+
+
+def q_otlp_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExportMetricsServiceRequest WIRE encode→decode with all five
+    Data variants per request (metrics.proto oneof fields 5/7/9/10/11;
+    the set batch_resources.rs:61-77 sizes): one request per (service,
+    event_type, minute), histogram statistical set + gauge points
+    decoded back from the bytes."""
+    import pandas as pd
+
+    from rotel_spark.sinks.otlp_proto import (
+        decode_export_metrics_request,
+        to_export_metrics_request_proto,
+    )
+    from rotel_spark.telemetry import events_to_datapoints
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reqs = to_export_metrics_request_proto(events_to_datapoints(events))
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for proto in pdf["request_proto"]:
+                for entry in decode_export_metrics_request(bytes(proto)):
+                    svc = entry["resource_attributes"]["service.name"]
+                    by_type = {
+                        m["metric_type"]: m for m in entry["metrics"]
+                    }
+                    g = by_type["gauge"]
+                    hd = by_type["histogram"]["datapoints"][0]
+                    n_dps = sum(
+                        len(m["datapoints"]) for m in entry["metrics"]
+                    )
+                    rows.append(
+                        (
+                            svc,
+                            g["name"].split(".")[1],
+                            len(entry["metrics"]),
+                            n_dps,
+                            hd["count"],
+                            hd["sum"],
+                            hd["min"],
+                            hd["max"],
+                            round(
+                                sum(
+                                    dp["value"] for dp in g["datapoints"]
+                                ),
+                                6,
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "service", "event_type", "n_metrics", "n_dps",
+                    "hist_count", "hist_sum", "hist_min", "hist_max",
+                    "gauge_sum",
+                ],
+            )
+
+    schema = (
+        "service string, event_type string, n_metrics long, n_dps long,"
+        " hist_count long, hist_sum double, hist_min double,"
+        " hist_max double, gauge_sum double"
+    )
+    decoded = reqs.mapInPandas(_decode, schema)
+    return decoded.groupBy("service", "event_type").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("n_metrics").alias("n_metrics"),
+        F.sum("n_dps").alias("n_datapoints"),
+        F.sum("hist_count").alias("total_count"),
+        F.round(F.sum("hist_sum"), 6).alias("sum_r"),
+        F.round(F.min("hist_min"), 6).alias("min_r"),
+        F.round(F.max("hist_max"), 6).alias("max_r"),
+        F.round(F.sum("gauge_sum"), 6).alias("gauge_sum_r"),
+    )
+
+
 def q_metric_type_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five OTLP metric Data variants (Gauge/Sum/Histogram/
     ExponentialHistogram/Summary) sized by DATAPOINT leaf count and
@@ -942,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_rollup": q_span_rollup,
         "span_tree_roundtrip": q_span_tree_roundtrip,
         "emf_metrics_grouping": q_emf_metrics_grouping,
+        "otlp_trace_proto_roundtrip": q_otlp_trace_proto_roundtrip,
+        "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
         "metric_type_batch_sizing": q_metric_type_batch_sizing,
         "emf_document": q_emf_document,
         "typed_attrs": q_typed_attrs,
@@ -1316,6 +1446,39 @@ SELECT namespace, service, event_type, ts_minute_nano,
        round(sum(value), 6) AS sum_value_r,
        round(max(value), 6) AS max_value_r
 FROM dp GROUP BY 1, 2, 3, 4
+""",
+        "otlp_trace_proto_roundtrip": f"""
+WITH {_SPANS_CTE}
+SELECT service_name, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       max(dur_ns) AS max_dur_ns
+FROM sp GROUP BY 1
+""",
+        "otlp_metrics_proto_roundtrip": """
+WITH dp AS (
+  SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm,
+         value
+  FROM events),
+g AS (SELECT service, event_type, tsm,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 6) AS s,
+        round(min(value), 6) AS mn,
+        round(max(value), 6) AS mx
+      FROM dp GROUP BY 1, 2, 3)
+SELECT service, event_type,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(count(*) * 5 AS BIGINT) AS n_metrics,
+       CAST(sum(n) + 4 * count(*) AS BIGINT) AS n_datapoints,
+       CAST(sum(n) AS BIGINT) AS total_count,
+       round(sum(s), 6) AS sum_r,
+       round(min(mn), 6) AS min_r,
+       round(max(mx), 6) AS max_r,
+       round(sum(s), 6) AS gauge_sum_r
+FROM g GROUP BY 1, 2
 """,
         "metric_type_batch_sizing": """
 WITH dp AS (
