@@ -185,3 +185,351 @@ def dd_span_transform(
             "dd_container_tags": container_tags(ra),
         }
     )
+
+
+# --- span name/type/resource/source inference (transform/otel_util.rs,
+#     db_types.rs, source.rs, cloud.rs, k8s.rs) ------------------------------
+
+# db_types.rs:20-78 — db.system value → Datadog span type
+_DB_SQL = [
+    "other_sql", "mssql", "mysql", "oracle", "db2", "postgresql",
+    "redshift", "cloudscape", "hsqldb", "maxdb", "ingres", "firstsql",
+    "edb", "cache", "firebird", "derby", "informix", "mariadb",
+    "sqlite", "sybase", "teradata", "vertica", "h2", "coldfusion",
+    "cockroachdb", "progress", "hanadb", "adabas", "filemaker",
+    "instantdb", "interbase", "netezza", "pervasive", "pointbase",
+    "clickhouse",
+]
+DB_TYPES: dict[str, str] = {
+    **{s: "sql" for s in _DB_SQL},
+    "cassandra": "cassandra",
+    "redis": "redis",
+    "memcached": "memcached",
+    "mongodb": "mongodb",
+    "elasticsearch": "elasticsearch",
+    "opensearch": "opensearch",
+    "hive": "db",
+    "hbase": "db",
+    "neo4j": "db",
+    "couchbase": "db",
+    "couchdb": "db",
+    "cosmosdb": "db",
+    "dynamodb": "db",
+    "geode": "db",
+}
+
+# SpanKind enum → proto variant name (as_str_name, the operation-name
+# fallback in otel_util.rs:172-175)
+SPAN_KIND_PROTO_NAMES = {
+    0: "SPAN_KIND_UNSPECIFIED",
+    1: "SPAN_KIND_INTERNAL",
+    2: "SPAN_KIND_SERVER",
+    3: "SPAN_KIND_CLIENT",
+    4: "SPAN_KIND_PRODUCER",
+    5: "SPAN_KIND_CONSUMER",
+}
+
+_LOCALHOSTS = [
+    "0.0.0.0", "127.0.0.1", "localhost", "localhost.localdomain",
+    "localhost6.localdomain6", "ip6-localhost",
+]
+
+MAX_RESOURCE_LEN = 5000  # otel_util.rs:19
+
+
+def dd_db_type(db_system: Column) -> Column:
+    """db.system value → Datadog type, default 'db' (db_types.rs)."""
+    m = F.create_map(
+        *[F.lit(x) for kv in DB_TYPES.items() for x in kv]
+    )
+    return F.coalesce(F.element_at(m, db_system), F.lit("db"))
+
+
+def dd_span_type(
+    kind: Column, span_attrs: Column, resource_attrs: Column
+) -> Column:
+    """get_otel_span_type (otel_util.rs:34-61): explicit span.type
+    wins (resource precedence), SERVER→web, CLIENT→db-type from
+    db.system else http, otherwise custom."""
+    explicit = find_with_resource_precedence(
+        ["span.type"], span_attrs, resource_attrs
+    )
+    db = find_with_resource_precedence(
+        ["db.system"], span_attrs, resource_attrs
+    )
+    return (
+        F.when(explicit.isNotNull(), explicit)
+        .when(kind == 2, F.lit("web"))
+        .when(
+            kind == 3,
+            F.when(db.isNotNull(), dd_db_type(db)).otherwise(F.lit("http")),
+        )
+        .otherwise(F.lit("custom"))
+    )
+
+
+def dd_operation_name(kind: Column, span_attrs: Column) -> Column:
+    """get_otel_operation_name_v2 (otel_util.rs:64-176): the exact
+    rule ladder over SPAN attributes only — operation.name, http,
+    db-client, messaging, aws/rpc, faas, graphql, generic
+    server/client, then the proto kind name."""
+    def a(k: str) -> Column:
+        return F.element_at(span_attrs, k)
+
+    is_client = kind == 3
+    is_server = kind == 2
+    http_method = F.coalesce(a("http.request.method"), a("http.method"))
+    msg_sys, msg_op = a("messaging.system"), a("messaging.operation.name")
+    rpc = a("rpc.system")
+    proto = a("network.protocol.name")
+    kind_name = F.lit("SPAN_KIND_UNSPECIFIED")
+    for k, name in SPAN_KIND_PROTO_NAMES.items():
+        kind_name = F.when(kind == k, F.lit(name)).otherwise(kind_name)
+    return (
+        F.when(a("operation.name").isNotNull(), a("operation.name"))
+        .when(
+            http_method.isNotNull(),
+            F.when(is_server, F.lit("http.server.request")).otherwise(
+                F.lit("http.client.request")
+            ),
+        )
+        .when(
+            is_client & a("db.system").isNotNull(),
+            F.concat(a("db.system"), F.lit(".query")),
+        )
+        .when(
+            msg_sys.isNotNull() & msg_op.isNotNull() & kind.isin(2, 3, 4, 5),
+            F.concat(msg_sys, F.lit("."), msg_op),
+        )
+        .when(
+            (rpc == "aws-api") & is_client,
+            F.when(
+                a("rpc.service").isNotNull(),
+                F.concat(F.lit("aws."), a("rpc.service"), F.lit(".request")),
+            ).otherwise(F.lit("aws.client.request")),
+        )
+        .when(
+            rpc.isNotNull() & is_client,
+            F.concat(rpc, F.lit(".client.request")),
+        )
+        .when(
+            rpc.isNotNull() & is_server,
+            F.concat(rpc, F.lit(".server.request")),
+        )
+        .when(
+            is_client
+            & a("faas.invoked_provider").isNotNull()
+            & a("faas.invoked_name").isNotNull(),
+            F.concat(
+                a("faas.invoked_provider"), F.lit("."),
+                a("faas.invoked_name"), F.lit(".invoke"),
+            ),
+        )
+        .when(
+            is_server & a("faas.trigger").isNotNull(),
+            F.concat(a("faas.trigger"), F.lit(".invoke")),
+        )
+        .when(
+            a("graphql.operation.type").isNotNull(),
+            F.lit("graphql.server.request"),
+        )
+        .when(
+            is_server,
+            F.when(
+                proto.isNotNull(),
+                F.concat(proto, F.lit(".server.request")),
+            ).otherwise(F.lit("server.request")),
+        )
+        .when(
+            is_client,
+            F.when(
+                proto.isNotNull(),
+                F.concat(proto, F.lit(".client.request")),
+            ).otherwise(F.lit("client.request")),
+        )
+        .when(kind != 0, kind_name)
+        .otherwise(F.lit("SPAN_KIND_INTERNAL"))
+    )
+
+
+def dd_resource_name(
+    kind: Column,
+    span_name: Column,
+    span_attrs: Column,
+    resource_attrs: Column,
+) -> Column:
+    """get_otel_resource_v2 (otel_util.rs:176-254): resource.name,
+    http method (+route for server, _OTHER→HTTP), messaging op
+    (+destination), rpc method (+service), graphql type (+name), db
+    query text / statement, else the span name; truncated to 5000."""
+    def find(keys: list[str]) -> Column:
+        return find_with_resource_precedence(
+            keys, span_attrs, resource_attrs
+        )
+
+    method = find(["http.request.method", "http.method"])
+    method_name = F.when(method == "_OTHER", F.lit("HTTP")).otherwise(method)
+    route = find(["http.route"])
+    msg_op = find(["messaging.operation.name"])
+    msg_dest = find(["messaging.destination", "messaging.destination.name"])
+    rpc_m, rpc_svc = find(["rpc.method"]), find(["rpc.service"])
+    gql_t = find(["graphql.operation.type"])
+    gql_n = find(["graphql.operation.name"])
+    unchecked = (
+        F.when(find(["resource.name"]).isNotNull(), find(["resource.name"]))
+        .when(
+            method.isNotNull(),
+            F.when(
+                (kind == 2) & route.isNotNull(),
+                F.concat(method_name, F.lit(" "), route),
+            ).otherwise(method_name),
+        )
+        .when(
+            msg_op.isNotNull(),
+            F.when(
+                msg_dest.isNotNull(),
+                F.concat(msg_op, F.lit(" "), msg_dest),
+            ).otherwise(msg_op),
+        )
+        .when(
+            rpc_m.isNotNull(),
+            F.when(
+                rpc_svc.isNotNull(),
+                F.concat(rpc_m, F.lit(" "), rpc_svc),
+            ).otherwise(rpc_m),
+        )
+        .when(
+            gql_t.isNotNull(),
+            F.when(
+                gql_n.isNotNull(), F.concat(gql_t, F.lit(" "), gql_n)
+            ).otherwise(gql_t),
+        )
+        .when(
+            find(["db.system"]).isNotNull()
+            & F.coalesce(
+                find(["db.query.text"]), find(["db.statement"])
+            ).isNotNull(),
+            F.coalesce(find(["db.query.text"]), find(["db.statement"])),
+        )
+        .otherwise(span_name)
+    )
+    return F.substring(unchecked, 1, MAX_RESOURCE_LEN)
+
+
+def dd_service(span_attrs: Column, resource_attrs: Column) -> Column:
+    """get_otel_service (otel_util.rs:256-277): service.name with
+    resource precedence, fixed fallback literal."""
+    return F.coalesce(
+        find_with_resource_precedence(
+            ["service.name"], span_attrs, resource_attrs
+        ),
+        F.lit("otlpresourcenoservicename"),
+    )
+
+
+def dd_status_code(span_attrs: Column) -> Column:
+    """status_code (otel_util.rs:287-303): http.response.status_code,
+    falling back to the deprecated http.status_code; non-numeric →
+    null (the reference's parse() failure)."""
+    return F.coalesce(
+        F.element_at(span_attrs, "http.response.status_code").try_cast("int"),
+        F.element_at(span_attrs, "http.status_code").try_cast("int"),
+    )
+
+
+def dd_source(resource_attrs: Column) -> Column:
+    """source inference (source.rs:40-107 + cloud.rs + k8s.rs) →
+    struct(kind, identifier) or null.
+
+    Fargate (aws.ecs.launchtype=fargate + task arn) → kind 'task_arn';
+    else the hostname precedence walk: host, datadog.host.name, [stop
+    if fargate], cloud-provider hostname (aws→host.id; azure→host.id
+    else host.name; gcp unimplemented in the reference — todo!() —
+    mirrored as null), k8s node(-cluster), host.id, host.name;
+    localhost variants rejected. A found cloud provider TERMINATES the
+    walk even when its lookup misses (source.rs:92-94 returns the
+    provider result directly)."""
+    def r(k: str) -> Column:
+        return F.element_at(resource_attrs, k)
+
+    is_fargate = r("aws.ecs.launchtype") == "fargate"
+    provider = r("cloud.provider")
+    cluster = r("k8s.cluster.name")
+    k8s_host = F.when(
+        r("k8s.node.name").isNotNull(),
+        F.when(
+            cluster.isNotNull(),
+            F.concat(r("k8s.node.name"), F.lit("-"), cluster),
+        ).otherwise(r("k8s.node.name")),
+    )
+    unchecked = F.coalesce(
+        r("host"),
+        r("datadog.host.name"),
+        F.when(is_fargate, F.lit(None).cast("string"))
+        .when(provider == "aws", r("host.id"))
+        .when(provider == "azure", F.coalesce(r("host.id"), r("host.name")))
+        .when(provider == "gcp", F.lit(None).cast("string"))
+        .otherwise(F.coalesce(k8s_host, r("host.id"), r("host.name"))),
+    )
+    hostname = F.when(~unchecked.isin(_LOCALHOSTS), unchecked)
+    return (
+        F.when(
+            is_fargate & r("aws.ecs.task.arn").isNotNull(),
+            F.struct(
+                F.lit("task_arn").alias("kind"),
+                r("aws.ecs.task.arn").alias("identifier"),
+            ),
+        )
+        .when(
+            hostname.isNotNull(),
+            F.struct(
+                F.lit("host").alias("kind"),
+                hostname.alias("identifier"),
+            ),
+        )
+    )
+
+
+def dd_env(resource_attrs: Column) -> Column:
+    """get_otel_env (otel_util.rs:306-317): deployment.environment.name
+    falling back to the deprecated deployment.environment; '' when
+    absent (find_first_in_resource returns empty string)."""
+    return F.coalesce(
+        F.element_at(resource_attrs, "deployment.environment.name"),
+        F.element_at(resource_attrs, "deployment.environment"),
+        F.lit(""),
+    )
+
+
+def dd_span_inference(
+    spans: DataFrame,
+    kind_col: str = "kind",
+    name_col: str = "name",
+    span_attrs_col: str = "span_attributes",
+    resource_attrs_col: str = "resource_attributes",
+) -> DataFrame:
+    """Apply the full inference set as one projection: adds
+    dd_span_type / dd_operation_name / dd_resource_name / dd_service /
+    dd_status_code / dd_env / dd_source_kind / dd_source_id."""
+    kind = F.col(kind_col)
+    sa = F.coalesce(
+        F.col(span_attrs_col), F.create_map().cast("map<string,string>")
+    )
+    ra = F.coalesce(
+        F.col(resource_attrs_col),
+        F.create_map().cast("map<string,string>"),
+    )
+    src = dd_source(ra)
+    return (
+        spans.withColumn("dd_span_type", dd_span_type(kind, sa, ra))
+        .withColumn("dd_operation_name", dd_operation_name(kind, sa))
+        .withColumn(
+            "dd_resource_name",
+            dd_resource_name(kind, F.col(name_col), sa, ra),
+        )
+        .withColumn("dd_service", dd_service(sa, ra))
+        .withColumn("dd_status_code", dd_status_code(sa))
+        .withColumn("dd_env", dd_env(ra))
+        .withColumn("dd_source_kind", src["kind"])
+        .withColumn("dd_source_id", src["identifier"])
+    )

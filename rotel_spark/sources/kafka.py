@@ -89,6 +89,18 @@ def to_kafka_batch(
     )
 
 
+def assign_partition(key, n_partitions: int) -> "F.Column":
+    """Kafka default-partitioner analog: partition = hash(key) mod
+    n_partitions (the broker client uses murmur2; xxhash64 here — the
+    invariants the reference's integration tests assert are per-key
+    STABILITY and cross-key DISTRIBUTION, tests/kafka_integration_
+    tests.rs:490,614, not a specific hash value). Null keys get a
+    deterministic partition 0 stand-in for the round-robin path."""
+    return F.when(
+        key.isNull(), F.lit(0)
+    ).otherwise(F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int"))
+
+
 def write_stream_options(
     brokers: str, telemetry_type: str = "logs"
 ) -> dict[str, str]:

@@ -78,3 +78,145 @@ def test_mapping_tables_match_reference_counts():
     assert len(HTTP_MAPPINGS) == 11
     assert CONTAINER_MAPPINGS["k8s.pod.name"] == "pod_name"
     assert HTTP_MAPPINGS["url.full"] == "http.url"
+
+
+def _infer_row(spark, kind, sattrs=None, rattrs=None, name="spanname"):
+    from rotel_spark.sinks.datadog import dd_span_inference
+
+    def m(d):
+        if not d:
+            return F.create_map().cast("map<string,string>")
+        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+    df = (
+        spark.createDataFrame([(1,)], "id int")
+        .withColumn("kind", F.lit(kind))
+        .withColumn("name", F.lit(name))
+        .withColumn("span_attributes", m(sattrs))
+        .withColumn("resource_attributes", m(rattrs))
+    )
+    return dd_span_inference(df).collect()[0]
+
+
+def test_span_type_reference_vectors(spark):
+    """otel_util.rs test_get_otel_span_type — the reference's own
+    table, one row per case."""
+    cases = [
+        (1, None, {"span.type": "my-type"}, "my-type"),
+        (2, None, None, "web"),
+        (3, None, {"db.system": "redis"}, "redis"),
+        (3, None, {"db.system": "memcached"}, "memcached"),
+        (3, None, {"db.system": "postgresql"}, "sql"),
+        (3, None, {"db.system": "elasticsearch"}, "elasticsearch"),
+        (3, None, {"db.system": "opensearch"}, "opensearch"),
+        (3, None, {"db.system": "cassandra"}, "cassandra"),
+        (3, None, {"db.system": "couchdb"}, "db"),
+        (3, None, None, "http"),
+        (1, None, None, "custom"),
+    ]
+    for kind, sattrs, rattrs, expected in cases:
+        got = _infer_row(spark, kind, sattrs, rattrs).dd_span_type
+        assert got == expected, (kind, rattrs, got, expected)
+
+
+def test_operation_name_ladder(spark):
+    """otel_util.rs:64-176 rule order."""
+    cases = [
+        (2, {"operation.name": "explicit"}, "explicit"),
+        (2, {"http.request.method": "GET"}, "http.server.request"),
+        (1, {"http.method": "GET"}, "http.client.request"),
+        (3, {"db.system": "mysql"}, "mysql.query"),
+        (4, {"messaging.system": "kafka",
+             "messaging.operation.name": "publish"}, "kafka.publish"),
+        (3, {"rpc.system": "aws-api", "rpc.service": "s3"},
+         "aws.s3.request"),
+        (3, {"rpc.system": "aws-api"}, "aws.client.request"),
+        (3, {"rpc.system": "grpc"}, "grpc.client.request"),
+        (2, {"rpc.system": "grpc"}, "grpc.server.request"),
+        (3, {"faas.invoked_provider": "aws",
+             "faas.invoked_name": "fn"}, "aws.fn.invoke"),
+        (2, {"faas.trigger": "http"}, "http.invoke"),
+        (1, {"graphql.operation.type": "query"},
+         "graphql.server.request"),
+        (2, {"network.protocol.name": "amqp"}, "amqp.server.request"),
+        (2, None, "server.request"),
+        (3, None, "client.request"),
+        (4, None, "SPAN_KIND_PRODUCER"),
+        (0, None, "SPAN_KIND_INTERNAL"),
+    ]
+    for kind, sattrs, expected in cases:
+        got = _infer_row(spark, kind, sattrs).dd_operation_name
+        assert got == expected, (kind, sattrs, got, expected)
+
+
+def test_resource_name_rules(spark):
+    """otel_util.rs:176-254."""
+    cases = [
+        (2, {"resource.name": "r"}, None, "r"),
+        (2, {"http.request.method": "GET", "http.route": "/x"}, None,
+         "GET /x"),
+        (3, {"http.request.method": "GET", "http.route": "/x"}, None,
+         "GET"),  # route only for server
+        (2, {"http.method": "_OTHER"}, None, "HTTP"),
+        (4, {"messaging.operation.name": "send",
+             "messaging.destination": "q1"}, None, "send q1"),
+        (3, {"rpc.method": "Get", "rpc.service": "Users"}, None,
+         "Get Users"),
+        (1, {"graphql.operation.type": "query",
+             "graphql.operation.name": "Q"}, None, "query Q"),
+        (3, {"db.system": "mysql", "db.statement": "SELECT 1"}, None,
+         "SELECT 1"),
+        (3, {"db.system": "mysql", "db.query.text": "SELECT 2",
+             "db.statement": "SELECT 1"}, None, "SELECT 2"),
+        (1, None, None, "spanname"),
+    ]
+    for kind, sattrs, rattrs, expected in cases:
+        got = _infer_row(spark, kind, sattrs, rattrs).dd_resource_name
+        assert got == expected, (kind, sattrs, got, expected)
+
+
+def test_service_env_status(spark):
+    r = _infer_row(spark, 1, {"http.status_code": "503"},
+                   {"service.name": "svc",
+                    "deployment.environment": "prod"})
+    assert r.dd_service == "svc"
+    assert r.dd_env == "prod"
+    assert r.dd_status_code == 503
+    r2 = _infer_row(spark, 1, {"http.response.status_code": "200",
+                               "http.status_code": "503"}, None)
+    assert r2.dd_status_code == 200  # new key wins
+    assert r2.dd_service == "otlpresourcenoservicename"
+    assert r2.dd_env == ""
+
+
+def test_source_inference(spark):
+    """source.rs:40-107: fargate task_arn; hostname precedence;
+    localhost rejection; cloud-provider walk termination."""
+    cases = [
+        ({"aws.ecs.launchtype": "fargate",
+          "aws.ecs.task.arn": "arn:x"}, ("task_arn", "arn:x")),
+        ({"host": "h1", "host.name": "h2"}, ("host", "h1")),
+        ({"datadog.host.name": "ddh"}, ("host", "ddh")),
+        ({"cloud.provider": "aws", "host.id": "i-123",
+          "host.name": "ignored"}, ("host", "i-123")),
+        # aws with no host.id TERMINATES the walk (source.rs:92-94)
+        ({"cloud.provider": "aws", "host.name": "unreached"}, None),
+        ({"cloud.provider": "azure", "host.name": "azh"},
+         ("host", "azh")),
+        ({"k8s.node.name": "n1", "k8s.cluster.name": "c1"},
+         ("host", "n1-c1")),
+        ({"k8s.node.name": "n1"}, ("host", "n1")),
+        ({"host.id": "hid"}, ("host", "hid")),
+        ({"host.name": "hn"}, ("host", "hn")),
+        ({"host": "localhost"}, None),
+        ({"host.name": "127.0.0.1"}, None),
+        ({}, None),
+    ]
+    for rattrs, expected in cases:
+        r = _infer_row(spark, 1, None, rattrs)
+        got = (
+            (r.dd_source_kind, r.dd_source_id)
+            if r.dd_source_kind is not None
+            else None
+        )
+        assert got == expected, (rattrs, got, expected)

