@@ -366,6 +366,84 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic md5-derived coarse quantizer
+    (fixed_centroids) so the cell assignment, probe selection and
+    per-cell pruning are bit-reproducible by the DuckDB oracle (which
+    inlines the same centroid constants — the lsh_planes trick).
+    Search is pruned to the 2 nearest of 8 cells per query; at scale
+    the corpus is PARTITIONED BY cell so the probe is partition
+    pruning, not a scan."""
+    from rotel_spark.operators.similarity import fixed_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cent = fixed_centroids(8, 64, seed=42)
+    out = ivf_topk(
+        corpus, queries, k=3, n_cells=8, n_probe=2, centroids=cent
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round(F.col("score"), 6).alias("score_r"),
+    )
+
+
+def ivf_oracle_sql(n_cells: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of q_ivf_topk: the md5-derived centroids are
+    computed HERE (pure arithmetic, no data) and inlined as literals;
+    assignment/probing/scoring re-derived independently in SQL."""
+    from rotel_spark.operators.similarity import fixed_centroids
+
+    cent = fixed_centroids(n_cells, dim, seed)
+    values = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in cent[i])
+        )
+        for i in range(n_cells)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES
+{values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dists AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         -2 * list_dot_product(e.v, cent.cv)
+           + list_dot_product(cent.cv, cent.cv) AS d
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists WHERE vec_id < 5) WHERE rn <= 2),
+corpus AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cell
+  FROM assign WHERE vec_id >= 5),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         list_cosine_similarity(p.qv, c.cv) AS score
+  FROM probes p JOIN corpus c USING (cell)),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(score, 6) AS score_r
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-Jaccard verified survivors.
 
@@ -1052,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "quality_score": q_quality_score,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1271,6 +1350,7 @@ SELECT CAST(floor(
   count(*) AS n
 FROM documents GROUP BY 1
 """,
+        "ivf_topk": ivf_oracle_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -332,6 +332,22 @@ def ivf_build_centroids(
     return cent
 
 
+def fixed_centroids(n_cells: int, dim: int, seed: int = 42):
+    """Deterministic md5-derived coarse quantizer (the oracle-exact
+    trick used for LSH planes): component (i, j) is a pure-arithmetic
+    function of the seed, so the same constants can be inlined into a
+    DuckDB oracle. At scale you'd train k-means (ivf_build_centroids);
+    the fixed quantizer trades recall for bit-reproducible cells."""
+    import hashlib
+
+    out = np.empty((n_cells, dim), dtype=np.float64)
+    for i in range(n_cells):
+        for j in range(dim):
+            h = hashlib.md5(f"ivf:{seed}:{i}:{j}".encode()).hexdigest()
+            out[i, j] = int(h[:8], 16) / 2**32 * 2 - 1
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids,
@@ -339,14 +355,15 @@ def ivf_assign(
     out_col: str = "ivf_cell",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell — Arrow-batched,
-    centroids broadcast as a closure constant (small)."""
-    cent = np.asarray(centroids, dtype=np.float32)
+    centroids broadcast as a closure constant (small). float64
+    arithmetic so an oracle recomputing the same distances agrees."""
+    cent = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf(T.IntegerType())
     def _assign(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int32")
-        arr = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         # ||x-c||^2 = ||x||^2 - 2x·c + ||c||^2 ; argmin over cells
         d = -2 * (arr @ cent.T) + (cent**2).sum(axis=1)[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
@@ -364,15 +381,22 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     max_queries: int = 100_000,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN: search only the query's n_probe nearest cells.
 
     At scale the corpus is written partitioned by ivf_cell (partition
     pruning makes each probe touch n_probe/n_cells of the data); here
     the cell filter expresses the same pruning. The query set is small
-    by contract (bounded collect, see _collect_queries).
+    by contract (bounded collect, see _collect_queries). Pass
+    `centroids` (e.g. fixed_centroids) to skip k-means training and
+    use a pre-built/deterministic quantizer.
     """
-    cent = ivf_build_centroids(corpus, vec_col, n_cells, seed=seed)
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_build_centroids(corpus, vec_col, n_cells, seed=seed)
+    )
     c = ivf_assign(corpus, cent, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
