@@ -31,14 +31,25 @@ def main() -> int:
     ap.add_argument("--heap", default=None)
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--mrpf", type=int, default=65536)
-    ap.add_argument("--gc", default="parallel", choices=["parallel", "g1"])
+    ap.add_argument(
+        "--gc", default=None, choices=["parallel", "g1"],
+        help="override session GC (default: keep session's tuned "
+        "ParallelGC+fixed-young-gen+pretouch)",
+    )
     ap.add_argument("--passes", type=int, default=1)
     ap.add_argument("--committer", default=None)
+    ap.add_argument("--speculation", action="store_true")
+    ap.add_argument(
+        "--eventlog", default=None,
+        help="dir for Spark event logs (per-stage task-time profiling "
+        "via scripts/stage_profile.py)",
+    )
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
     import os
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cores))
+    os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", args.heap or "32g")
     sys.path.insert(0, "/root/repo")
 
     from rotel_spark.session import build_spark
@@ -46,8 +57,20 @@ def main() -> int:
     extra = {}
     if args.heap:
         extra["spark.driver.memory"] = args.heap
-    gcflag = "-XX:+UseParallelGC" if args.gc == "parallel" else "-XX:+UseG1GC"
-    extra["spark.driver.extraJavaOptions"] = gcflag
+    if args.gc:
+        gcflag = (
+            "-XX:+UseParallelGC" if args.gc == "parallel"
+            else "-XX:+UseG1GC"
+        )
+        extra["spark.driver.extraJavaOptions"] = gcflag
+    if args.speculation:
+        extra["spark.speculation"] = "true"
+        extra["spark.speculation.multiplier"] = "1.5"
+        extra["spark.speculation.quantile"] = "0.9"
+    if args.eventlog:
+        os.makedirs(args.eventlog, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = args.eventlog
     if args.committer:
         extra[
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"

@@ -1,0 +1,96 @@
+"""Per-stage task-time profile from a Spark event log.
+
+Attributes N→4N scaling loss: for every stage prints task count, sum
+of task run times, stage wall (completion - submission), utilization
+(task-time / (wall × cores)), and the straggler tail (p50/p95/max task
+time). A stage whose utilization collapses at 4N while task-time stays
+flat is wave-quantized or straggler-bound, not compute-bound; a stage
+whose SUM of task time grows at 4N is contending (memory bandwidth /
+GC / hypervisor steal).
+
+Usage: python scripts/stage_profile.py <eventlog-file> [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    path = sys.argv[1]
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    stages: dict[tuple, dict] = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerTaskEnd":
+                info = ev.get("Task Info", {})
+                sid = (ev.get("Stage ID"), ev.get("Stage Attempt ID"))
+                st = stages.setdefault(
+                    sid, {"tasks": [], "submit": None, "complete": None,
+                          "name": ""}
+                )
+                st["tasks"].append(
+                    (info.get("Finish Time", 0) - info.get("Launch Time", 0))
+                    / 1000.0
+                )
+            elif kind == "SparkListenerStageCompleted":
+                si = ev.get("Stage Info", {})
+                sid = (si.get("Stage ID"), si.get("Stage Attempt ID"))
+                st = stages.setdefault(
+                    sid, {"tasks": [], "submit": None, "complete": None,
+                          "name": ""}
+                )
+                st["submit"] = si.get("Submission Time")
+                st["complete"] = si.get("Completion Time")
+                st["name"] = si.get("Stage Name", "")
+
+    rows = []
+    for (sid, att), st in sorted(stages.items()):
+        t = sorted(st["tasks"])
+        if not t or st["submit"] is None:
+            continue
+        wall = (st["complete"] - st["submit"]) / 1000.0
+        total = sum(t)
+        rows.append(
+            {
+                "stage": sid,
+                "name": st["name"][:40],
+                "n_tasks": len(t),
+                "wall_s": round(wall, 2),
+                "task_time_s": round(total, 1),
+                "util": round(total / (wall * cores), 3) if wall else 0,
+                "p50": round(t[len(t) // 2], 2),
+                "p95": round(t[int(len(t) * 0.95)], 2),
+                "max": round(t[-1], 2),
+            }
+        )
+    rows.sort(key=lambda r: -r["task_time_s"])
+    for r in rows:
+        print(json.dumps(r))
+    big_wall = sum(r["wall_s"] for r in rows)
+    big_task = sum(r["task_time_s"] for r in rows)
+    print(
+        json.dumps(
+            {
+                "stages": len(rows),
+                "sum_stage_wall_s": round(big_wall, 2),
+                "sum_task_time_s": round(big_task, 1),
+                "overall_util_vs_stage_wall": round(
+                    big_task / (big_wall * cores), 3
+                )
+                if big_wall
+                else 0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
