@@ -664,6 +664,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS over the simhash near-dup pair
+    graph: iterative min-label propagation (connected components —
+    near-duplicity is almost transitive, so dedup keeps one survivor
+    per component, not per pair). Oracle: DuckDB WITH RECURSIVE
+    reachability closure over the same bit-exact pair set."""
+    from rotel_spark.operators.dedup import connected_components
+
+    pairs = q_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction: REAL BMP/WAV decoders over
     mapInPandas (video = documented byte-histogram fallback); the
@@ -1144,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_fallback": q_observed_fallback,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "dup_clusters": q_dup_clusters,
         "multimodal_features": q_multimodal_features,
         "clickhouse_rows": q_clickhouse_rows,
         "span_rollup": q_span_rollup,
@@ -1487,6 +1504,26 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM sims a JOIN sims b
   ON (a.simhash >> 44) = (b.simhash >> 44) AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+        "dup_clusters": f"""
+WITH RECURSIVE {simhash_oracle_ctes("documents", "doc_id", "text")},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sims a JOIN sims b
+    ON (a.simhash >> 44) = (b.simhash >> 44) AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+comp(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node),
+assigned AS (
+  SELECT node, min(label) AS cluster FROM comp GROUP BY node)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       max(node) AS max_member
+FROM assigned GROUP BY cluster
 """,
         "embedding_near_dup": near_dup_oracle_sql(
             "embeddings", "vec_id", "embedding",

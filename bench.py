@@ -56,6 +56,21 @@ def run_pipeline_bench(
     from rotel_spark.parsers.auto import parse_auto
     from rotel_spark.plans.routing import with_route
 
+    # File-split granularity: FileSourceScan packs small files into
+    # ~(total bytes / maxPartitionBytes) tasks, which at this input
+    # size coarsens the scan to roughly core-count tasks — the event-
+    # log profile shows the whole timed job is ONE map stage whose
+    # last-wave tail then bounds utilization (measured util 0.88 at
+    # 8c/26 tasks, 0.92 at 32c/32 tasks). Require ≥8 waves of tasks
+    # per core so the tail is amortized at BOTH scaling levels. At
+    # 100 TB the natural split count (bytes/128MB) dwarfs 8×cores and
+    # this floor is a no-op.
+    waves = int(os.environ.get("ROTEL_MIN_PARTITION_WAVES", "8"))
+    if waves:
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum",
+            str(waves * spark.sparkContext.defaultParallelism),
+        )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # 256 files: a 100 TB Iceberg table has file-level parallelism far
     # beyond core count; locally, 64 files = only 2 task waves at 32

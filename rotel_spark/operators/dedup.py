@@ -359,3 +359,64 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive duplicate clustering: connected components of the
+    near-dup pair graph via iterative min-label propagation.
+
+    Near-dup PAIRS under-describe duplication: similarity is nearly
+    transitive, so dedup must drop whole CLUSTERS (keep one survivor
+    per component), not one side of each pair. Each round every node
+    adopts min(own, neighbors') label; the loop converges in
+    O(component diameter) rounds — shallow for near-dup clusters.
+    Scale shape: one shuffle join + groupBy-min per round, lineage
+    truncated per round with localCheckpoint (iterative plans
+    otherwise grow unboundedly); convergence detected with a cheap
+    scalar agg (sum of labels is monotone non-increasing, fixpoint =
+    unchanged). The large-star/small-star variant (public Kiveris
+    et al. "Connected Components in MapReduce") halves rounds on
+    adversarial long-chain graphs; unnecessary for shallow dup
+    clusters. Returns (node, cluster), cluster = min node id in the
+    component.
+    """
+    edges = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .union(
+            pairs.select(
+                F.col(dst_col).cast("long").alias("src"),
+                F.col(src_col).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("node", F.col("label").alias("cluster"))

@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--committer", default=None)
     ap.add_argument("--speculation", action="store_true")
     ap.add_argument(
+        "--waves", type=int, default=None,
+        help="override ROTEL_MIN_PARTITION_WAVES (file-split waves "
+        "per core; 0 disables the minPartitionNum floor)",
+    )
+    ap.add_argument(
         "--eventlog", default=None,
         help="dir for Spark event logs (per-stage task-time profiling "
         "via scripts/stage_profile.py)",
@@ -49,6 +54,8 @@ def main() -> int:
 
     import os
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cores))
+    if args.waves is not None:
+        os.environ["ROTEL_MIN_PARTITION_WAVES"] = str(args.waves)
     os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", args.heap or "32g")
     sys.path.insert(0, "/root/repo")
 

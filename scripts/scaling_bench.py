@@ -86,6 +86,46 @@ def best(*results: dict) -> dict:
 
 
 def main() -> None:
+    # --level mode: run ONE (cores, sink) level and append its sample
+    # to a JSONL file — lets a driver compose the interleaved protocol
+    # from short independent invocations (each its own pinned JVM) and
+    # survive per-invocation wall-clock limits. --report mode reads
+    # the samples file and writes BENCH/BASELINE.md.
+    if len(sys.argv) > 1 and sys.argv[1] == "--level":
+        cores, sink, out_path = int(sys.argv[2]), sys.argv[3], sys.argv[4]
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        reps = int(os.environ.get("ROTEL_BENCH_REPS", "3200"))
+        passes = int(os.environ.get("ROTEL_SCALE_PASSES", "1"))
+        r = run_level(cores, sf, reps, sink, passes)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(json.dumps(r))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--report":
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        samples = [
+            json.loads(ln)
+            for ln in open(sys.argv[2])
+            if ln.strip()
+        ]
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        reps = int(os.environ.get("ROTEL_BENCH_REPS", "3200"))
+        passes = int(os.environ.get("ROTEL_SCALE_PASSES", "1"))
+
+        def sel(cores: int, sink: str) -> list[dict]:
+            return [
+                s for s in samples
+                if s["cores"] == cores and s["sink"] == sink
+            ]
+
+        lo_pq, hi_pq = sel(n, "parquet"), sel(4 * n, "parquet")
+        lo_no, hi_no = sel(n, "noop"), sel(4 * n, "noop")
+        rounds = len(lo_pq)
+        write_report(
+            n, sf, reps, passes, rounds, lo_pq, hi_pq, lo_no, hi_no
+        )
+        return
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # ≥60s of work at N cores (BASELINE.md protocol)
@@ -99,6 +139,20 @@ def main() -> None:
         hi_pq.append(run_level(4 * n, sf, reps, "parquet", passes))
         lo_no.append(run_level(n, sf, reps, "noop", passes))
         hi_no.append(run_level(4 * n, sf, reps, "noop", passes))
+    write_report(n, sf, reps, passes, rounds, lo_pq, hi_pq, lo_no, hi_no)
+
+
+def write_report(
+    n: int,
+    sf: str,
+    reps: int,
+    passes: int,
+    rounds: int,
+    lo_pq: list,
+    hi_pq: list,
+    lo_no: list,
+    hi_no: list,
+) -> None:
     lo, hi = best(*lo_pq), best(*hi_pq)
     lon, hin = best(*lo_no), best(*hi_no)
 

@@ -362,3 +362,19 @@ def test_datadog_container_tags_alias_collision_not_fatal(spark):
     ).collect()[0].tags
     assert out["container_id"] == "abc"  # otel mapping wins
     assert out["custom"] == "keep"
+
+
+def test_connected_components_min_label(spark):
+    """CC via min-label propagation: chain 1-2-3, pair 10-11,
+    singleton edges absent; cluster = min member id."""
+    from rotel_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 9), (9, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7}
