@@ -40,6 +40,7 @@ def run_pipeline_bench(
     mrpf: int = 65536,
     sink: str = "parquet",
     salt: int | None = None,
+    warmup_reps: int | None = None,
 ) -> dict:
     """Timed path: scan stored pages table → extract log line from html
     → multi-format parse → broadcast enrich → route → fan-out writes.
@@ -84,8 +85,19 @@ def run_pipeline_bench(
         spark.sql(tld_registry_sql()).withColumnRenamed("tld", "reg_tld")
     )
 
-    def pipeline():
-        df = extract_log_line(pages)
+    wpages = None
+    if warmup_reps:
+        # cheap warm-up variant: full JIT/codegen warm-up on a small
+        # same-shape table; the big table's page cache persists across
+        # arm processes on this 128 GB host, so re-scanning all of it
+        # per warm-up only burns protocol wall-clock
+        wtable = f"/tmp/rotel_pages_{tag}_x{warmup_reps}_p{partitions}"
+        wpages = materialize_pages(
+            spark, sf_dir, warmup_reps, wtable, partitions=partitions
+        )
+
+    def pipeline(src=None):
+        df = extract_log_line(src if src is not None else pages)
         parsed = with_route(drop_unparsed(parse_auto(df)))
         # broadcast enrichment rides the same pass (north star: parse →
         # enrich → route; Datadog mapping-table analog) — map-side hash
@@ -106,13 +118,13 @@ def run_pipeline_bench(
     # semantic stays the pipeline default (count parity is on per-sink
     # totals, not batch shapes; SURVEY.md §2.4), but 8192 at 1M+ rows
     # means hundreds of files whose commit overhead dominates wall time
-    def run_once(path: str) -> dict[str, int]:
+    def run_once(path: str, src=None) -> dict[str, int]:
         if sink == "noop":
             from pyspark.sql.observation import Observation
 
             obs = Observation(f"noop:{path}")
             routes = ["errors", "ops", "archive"]
-            df = pipeline().observe(
+            df = pipeline(src).observe(
                 obs,
                 *[
                     F.sum(
@@ -129,12 +141,12 @@ def run_pipeline_bench(
         # partitions with concurrent writers. Opt in for genuinely
         # skewed routes.
         return write_routed(
-            pipeline(), path, max_records_per_file=mrpf,
+            pipeline(src), path, max_records_per_file=mrpf,
             salt_partitions=salt,
         )
 
     # warm-up (JIT/codegen/page-cache), discarded per BASELINE.md protocol
-    run_once(f"{out_dir}/warmup")
+    run_once(f"{out_dir}/warmup", wpages)
     t0 = time.time()
     counts = run_once(f"{out_dir}/routed")
     elapsed = time.time() - t0

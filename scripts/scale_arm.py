@@ -1,0 +1,63 @@
+"""One scaling-protocol arm, in-process: run the E2E bench pipeline
+once (small-table warm-up + full timed pass) at the given core count
+and sink, append the sample as one JSON line to the output file.
+
+The caller pins the process (`taskset -c 0-<cores-1> python
+scripts/scale_arm.py <cores> <sink> <samples.jsonl>`) so GC and helper
+threads share exactly the level's cores, like a real N-core cluster.
+scripts/scaling_bench.py --report composes the interleaved samples
+file into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+
+def main() -> int:
+    cores, sink, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cores))
+    os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
+    sys.path.insert(0, "/root/repo")
+
+    from rotel_spark.session import build_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("ROTEL_BENCH_REPS", "3200"))
+    spark = build_spark(
+        app_name=f"scale_arm_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    from bench import run_pipeline_bench
+
+    out = tempfile.mkdtemp(prefix="rotel_arm_")
+    try:
+        r = run_pipeline_bench(
+            spark, sf, reps, out, sink=sink,
+            warmup_reps=max(1, reps // 16),
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    sample = {
+        "cores": cores,
+        "sink": sink,
+        "sec": r["sec"],
+        "records": r["records"],
+        "records_per_sec": r["records_per_sec"],
+        "mb_per_sec": r["mb_per_sec"],
+        "sink_counts": r["sink_counts"],
+        "all": [round(r["records_per_sec"], 1)],
+    }
+    with open(out_path, "a") as f:
+        f.write(json.dumps(sample) + "\n")
+    print("ARM " + json.dumps(sample))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -220,6 +220,31 @@ Per-sink routed counts identical at both levels: {parity}
 Raw per-run samples (records/sec):
 N parquet {[r["all"] for r in lo_pq]}, 4N parquet {[r["all"] for r in hi_pq]},
 N noop {[r["all"] for r in lo_no]}, 4N noop {[r["all"] for r in hi_no]}.
+
+## Per-stage attribution (event-log profile, scripts/stage_profile.py)
+
+Same noop job captured with spark.eventLog at both levels (one map
+stage — scan → parse → enrich → route → observe; no shuffle). The SUM
+of task run-time is the contention detector: equal sums at N and 4N
+mean added cores do not slow each other (no memory-bandwidth wall);
+the wall-clock gap is then utilization (wave quantization + straggler
+tail) plus inter-run host noise.
+
+| level | tasks | sum task-time (s) | stage wall (s) | utilization | p50 task (s) |
+|---|---|---|---|---|---|
+| 8c  | 26 | 831.9 | 118.3 | 0.879 | 17.6 |
+| 32c | 32 | 780.6 | 26.6  | 0.917 | 24.2 |
+
+Sum of task time at 32c ≈ sum at 8c (780.6 vs 831.9 — the 32c run
+was marginally CHEAPER per record): parse compute scales linearly
+with cores on this host. The residual efficiency loss is (a) the
+task-wave tail — Spark's file packing had coalesced the 256-file scan
+into ~core-count tasks; `spark.sql.files.minPartitionNum = 8×cores`
+(bench.py) restores ≥8 waves per core at both levels, a no-op at
+100 TB where bytes/128 MB far exceeds 8×cores — and (b) bursty
+hypervisor noise: identical configs measured minutes apart swing up
+to 4× (raw samples above), which the interleaved best-of protocol
+exists to decorrelate.
 """
     )
     print(f"wrote {bench_dir / 'BASELINE.md'}")
