@@ -22,6 +22,8 @@ def main() -> int:
     cores, sink, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(cores))
     os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
+    # one timed pass per arm — the interleaved protocol provides best-of
+    os.environ.setdefault("ROTEL_BENCH_BEST_OF", "1")
     sys.path.insert(0, "/root/repo")
 
     from rotel_spark.session import build_spark

@@ -31,6 +31,7 @@ CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, "{repo}")
 os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
+os.environ.setdefault("ROTEL_BENCH_BEST_OF", "1")
 from rotel_spark.session import build_spark
 from bench import run_pipeline_bench
 
