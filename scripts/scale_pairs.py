@@ -1,0 +1,248 @@
+"""Round-4 same-window scaling-pair protocol — PRE-REGISTERED.
+
+This file (and the rules below) are committed BEFORE any round-4
+sample is collected (VERDICT r3, next-round item #2: "Pre-register the
+statistic ... then collect ... no post-hoc sample selection").
+
+Pre-registered rules
+--------------------
+* A **pair** = one N-core arm immediately followed by one 4N-core arm
+  (back-to-back pinned child JVMs, same materialized input table) so
+  both arms share a single host-noise window. N=8, 4N=32.
+* **Pair efficiency** = r_4N / (4 * r_N), records/sec from the two
+  arms of one pair.
+* **Headline statistic, per sink (noop=compute-only, parquet=E2E)**:
+  the MEDIAN of the 3 best pair efficiencies over ALL pairs collected
+  this round (the exact rule VERDICT r3 proposed). Every completed
+  pair enters the pool; no post-hoc exclusion. If fewer than 3 pairs
+  complete, the median of what exists. The full pair list is
+  published in BENCH/BASELINE.md for audit.
+* Rationale for "best-3 median" (from the r3 evidence): the host
+  oscillates on ~10-min periods between a full-width regime and an
+  ~8-effective-core quota regime. A 32c arm caught in the quota
+  regime measures the SAME absolute rps as an 8c arm (r3 round 7), so
+  low pairs measure the hypervisor, not the plan; the best pairs are
+  the least-contaminated observations. Taking a *median of three*
+  rather than the single max keeps one lucky window from deciding the
+  grade. Medians over all pairs are also reported for transparency.
+* Arms within a pair run noop first, then the same two levels for
+  parquet, i.e. each collection round is (noop8, noop32, pq8, pq32).
+  Nothing else runs on the host during collection (no pytest, no
+  second Spark session — measured 2-5x corruption otherwise).
+
+Usage:
+  python scripts/scale_pairs.py collect <rounds> [samples.jsonl]
+  python scripts/scale_pairs.py report [samples.jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+SAMPLES_DEFAULT = REPO / "BENCH" / "pairs_r4.jsonl"
+N = int(os.environ.get("ROTEL_SCALE_N", "8"))
+
+
+def run_arm(cores: int, sink: str) -> dict:
+    """One pinned arm via scale_arm.py; returns its sample dict."""
+    tmp = tempfile.mktemp(prefix="rotel_pair_", suffix=".jsonl")
+    cmd = [sys.executable, str(REPO / "scripts" / "scale_arm.py"),
+           str(cores), sink, tmp]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    # shuffle/blockmgr scratch inside the repo: background-task /tmp
+    # is rolled back when a foreground tool call is killed, which
+    # nukes a live blockmgr dir mid-job
+    local_dirs = REPO / ".spark_local"
+    local_dirs.mkdir(exist_ok=True)
+    env.setdefault("SPARK_LOCAL_DIRS", str(local_dirs))
+    env.setdefault("ROTEL_BENCH_REPS", "3200")
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd=REPO, timeout=3000, env=env)
+    try:
+        with open(tmp) as f:
+            sample = json.loads(f.readlines()[-1])
+    except (OSError, IndexError, json.JSONDecodeError) as exc:
+        raise RuntimeError(
+            f"arm cores={cores} sink={sink} produced no sample: {exc}\n"
+            f"{proc.stdout[-1500:]}\n{proc.stderr[-2500:]}"
+        ) from exc
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return sample
+
+
+def collect(rounds: int, out_path: pathlib.Path) -> None:
+    out_path.parent.mkdir(exist_ok=True)
+    existing = 0
+    if out_path.exists():
+        pairs = {json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()}
+        existing = max(pairs) + 1 if pairs else 0
+    for r in range(rounds):
+        pair_id = existing + r
+        for sink in ("noop", "parquet"):
+            for cores in (N, 4 * N):
+                t0 = time.time()
+                sample = run_arm(cores, sink)
+                sample.update(pair=pair_id, ts=round(t0, 1),
+                              wall=round(time.time() - t0, 1))
+                with open(out_path, "a") as f:
+                    f.write(json.dumps(sample) + "\n")
+                print(f"pair {pair_id} {sink}@{cores}c: "
+                      f"{sample['records_per_sec']:.0f} rps", flush=True)
+
+
+def load_pairs(path: pathlib.Path) -> dict[str, list[dict]]:
+    """Group samples into per-sink pairs keyed by pair id."""
+    by_key: dict[tuple[int, str, int], dict] = {}
+    for ln in open(path):
+        if not ln.strip():
+            continue
+        s = json.loads(ln)
+        by_key[(s["pair"], s["sink"], s["cores"])] = s
+    out: dict[str, list[dict]] = {"noop": [], "parquet": []}
+    pair_ids = sorted({k[0] for k in by_key})
+    for pid in pair_ids:
+        for sink in ("noop", "parquet"):
+            lo = by_key.get((pid, sink, N))
+            hi = by_key.get((pid, sink, 4 * N))
+            if lo and hi:
+                out[sink].append({
+                    "pair": pid,
+                    "r_n": lo["records_per_sec"],
+                    "r_4n": hi["records_per_sec"],
+                    "eff": hi["records_per_sec"] / (4 * lo["records_per_sec"]),
+                    "lo": lo, "hi": hi,
+                })
+    return out
+
+
+def headline(pairs: list[dict]) -> dict:
+    """The pre-registered statistic: median of the 3 best pair effs."""
+    if not pairs:
+        return {"eff": None, "pairs": 0}
+    effs = sorted((p["eff"] for p in pairs), reverse=True)
+    top3 = effs[:3]
+    return {
+        "eff": round(statistics.median(top3), 3),
+        "median_all": round(statistics.median(effs), 3),
+        "best": round(effs[0], 3),
+        "pairs": len(effs),
+        "top3": [round(e, 3) for e in top3],
+    }
+
+
+def report(path: pathlib.Path) -> None:
+    pairs = load_pairs(path)
+    h_no, h_pq = headline(pairs["noop"]), headline(pairs["parquet"])
+    # per-sink count parity across every completed pair and level
+    parity = all(
+        p["lo"]["sink_counts"] == p["hi"]["sink_counts"]
+        for ps in pairs.values() for p in ps
+    )
+    summary = {
+        "protocol": "pre-registered median of 3 best same-window pairs",
+        "n_cores": N, "4n_cores": 4 * N,
+        "compute_only": h_no, "e2e": h_pq,
+        "per_sink_parity_across_levels": parity,
+    }
+    print(json.dumps(summary))
+
+    def pair_rows(ps: list[dict]) -> str:
+        lines = []
+        for p in sorted(ps, key=lambda p: -p["eff"]):
+            lines.append(
+                f"| {p['pair']} | {p['r_n']:.0f} | {p['r_4n']:.0f} "
+                f"| {p['eff']:.3f} |")
+        return "\n".join(lines)
+
+    best_pq = max(pairs["parquet"], key=lambda p: p["eff"],
+                  default=None)
+    records = best_pq["lo"]["records"] if best_pq else 0
+    counts = best_pq["lo"]["sink_counts"] if best_pq else {}
+    md = f"""# BENCH — scaling measurement (protocol in /root/repo/BASELINE.md)
+
+Round-4 **pre-registered** same-window pair protocol (rules committed
+in scripts/scale_pairs.py BEFORE collection; VERDICT r3 item #2). A
+pair = one {N}-core arm immediately followed by one {4 * N}-core arm
+(back-to-back pinned JVMs, same materialized 256-file input table,
+{records} routed records per arm). Pair efficiency = R_4N/(4·R_N).
+**Headline = median of the 3 best pair efficiencies over all
+{h_no['pairs']} collected pairs** — every completed pair is listed
+below; no post-hoc exclusion. Nothing else ran during collection.
+
+## Headline (pre-registered statistic)
+
+| metric | compute-only (noop sink) | end-to-end (parquet sinks) |
+|---|---|---|
+| median of 3 best pairs | **{h_no['eff']}** | **{h_pq['eff']}** |
+| top-3 pair effs | {h_no.get('top3')} | {h_pq.get('top3')} |
+| median of ALL pairs | {h_no.get('median_all')} | {h_pq.get('median_all')} |
+| pairs collected | {h_no['pairs']} | {h_pq['pairs']} |
+
+Per-sink routed-count parity across every pair and level:
+**{parity}** (counts {json.dumps(counts)}).
+
+## All compute-only pairs (noop sink; sorted by efficiency)
+
+| pair | R_{N}c rec/s | R_{4 * N}c rec/s | eff |
+|---|---|---|---|
+{pair_rows(pairs["noop"])}
+
+## All end-to-end pairs (routed parquet, single local disk)
+
+| pair | R_{N}c rec/s | R_{4 * N}c rec/s | eff |
+|---|---|---|---|
+{pair_rows(pairs["parquet"])}
+
+## Why same-window pairs (r3 controlled evidence, still applies)
+
+The sandbox has no multi-node cluster, so the north rule's N-vs-4N
+criterion is evidenced as local[{N}] vs local[{4 * N}] on one host.
+That host adds three terms a real cluster does not have, quantified in
+round 3 and unchanged: (1) a ~10-min hypervisor quota oscillation —
+a 32c arm in the quota regime measures the same absolute rps as an 8c
+arm, so cross-window comparisons are meaningless and low pairs bound
+the hypervisor, not the plan; (2) SMT/turbo sharing — a pure-CPU
+probe (no Spark, scripts/scale_diag.py) retains only ~0.81/core from
+8→32 threads, an upper bound the fabric imposes on ANY job; (3)
+single-socket memory bandwidth — per-core scan ceiling drops from
+~35k to ~21.5k rec/s/core. Controls that isolate the plan itself:
+2c→8c (constant per-core bandwidth) pipeline efficiency ≈ 1.0, and
+per-stage task-time sums are equal at both levels (no contention
+inflation; ONE map stage, no shuffle in the hot path). On a real
+cluster each executor brings its own socket and disks, which is the
+regime the 2c→8c control models.
+"""
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(f"wrote {REPO / 'BENCH' / 'BASELINE.md'}")
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if mode == "collect":
+        rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        path = pathlib.Path(sys.argv[3]) if len(sys.argv) > 3 else SAMPLES_DEFAULT
+        collect(rounds, path)
+    elif mode == "report":
+        path = pathlib.Path(sys.argv[2]) if len(sys.argv) > 2 else SAMPLES_DEFAULT
+        report(path)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
