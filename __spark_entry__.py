@@ -910,20 +910,56 @@ def q_metric_type_batch_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emf_document(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CloudWatch EMF JSON log document emit — the _aws.CloudWatchMetrics
-    envelope with Namespace / sorted Dimensions / Metrics directives and
-    the metric value as a top-level statistical set
-    (awsemf/transformer.rs:563-618). Every graded field is re-EXTRACTED
-    from the emitted JSON text (envelope via JSON paths, the
-    dynamic-key stat set via regex), proving the document decodes."""
+    """CloudWatch EMF JSON log document emit with the reference's
+    PER-TYPE value shapes (awsemf/transformer.rs:560-618): gauge/sum
+    as plain numbers, histogram family as the {Count,Sum,Min,Max}
+    statistical set, summary as `{name}_count`/`{name}_sum` suffix
+    fields. Every graded field is re-EXTRACTED from the emitted JSON
+    text (envelope via JSON paths, dynamic-key values via regex),
+    proving each document shape decodes."""
     from rotel_spark.telemetry import emf_documents
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     docs = emf_documents(events)
     num = r'([-0-9.eE]+)[,}]'
+    is_hist = F.col("metric_type").isin(
+        "histogram", "exponential_histogram"
+    )
+    is_plain = F.col("metric_type").isin("gauge", "sum")
+    is_summary = F.col("metric_type") == "summary"
+    nul_l = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+    dp_count = (
+        F.when(
+            is_hist,
+            F.regexp_extract("emf_json", r'"Count":(\d+)', 1).cast("long"),
+        )
+        .when(
+            is_summary,
+            F.regexp_extract("emf_json", r'_count":(\d+)', 1).cast("long"),
+        )
+        .otherwise(nul_l)
+    )
+    dp_sum = (
+        F.when(
+            is_hist,
+            F.regexp_extract("emf_json", '"Sum":' + num, 1).cast("double"),
+        )
+        .when(
+            is_summary,
+            F.regexp_extract("emf_json", '_sum":' + num, 1).cast("double"),
+        )
+        .otherwise(
+            # plain emit: the single value field closes the document
+            F.regexp_extract("emf_json", r':([-0-9.eE]+)\}$', 1).cast(
+                "double"
+            )
+        )
+    )
     return docs.select(
         "service",
         "event_type",
+        "metric_type",
         F.get_json_object("emf_json", "$._aws.Timestamp")
         .cast("long")
         .alias("ts_ms"),
@@ -945,18 +981,16 @@ def q_emf_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("storage_resolution"),
-        F.regexp_extract("emf_json", r'"Count":(\d+)', 1)
-        .cast("long")
-        .alias("dp_count"),
-        F.regexp_extract("emf_json", '"Sum":' + num, 1)
-        .cast("double")
-        .alias("dp_sum"),
-        F.regexp_extract("emf_json", '"Min":' + num, 1)
-        .cast("double")
-        .alias("dp_min"),
-        F.regexp_extract("emf_json", '"Max":' + num, 1)
-        .cast("double")
-        .alias("dp_max"),
+        dp_count.alias("dp_count"),
+        dp_sum.alias("dp_sum"),
+        F.when(
+            is_hist,
+            F.regexp_extract("emf_json", '"Min":' + num, 1).cast("double"),
+        ).otherwise(nul_d).alias("dp_min"),
+        F.when(
+            is_hist,
+            F.regexp_extract("emf_json", '"Max":' + num, 1).cast("double"),
+        ).otherwise(nul_d).alias("dp_max"),
     )
 
 
@@ -1120,6 +1154,358 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fluent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent forward-protocol receiver E2E: events are packed into
+    MessagePack frames covering all union shapes the reference accepts
+    (src/receivers/fluent/message.rs:10-18) — signups as a stream of
+    Message objects with integer-seconds timestamps, errors as
+    ForwardWithOption, the rest as Forward with EventTime ext-0
+    timestamps — then decoded by the receiver
+    (parsers/fluent.py) into LogRecords with body/attribute/fluent.tag
+    mapping per convert.rs:50-94. The oracle derives every output fact
+    from the raw events table by independent arithmetic, so a match
+    proves codec + classification + conversion end-to-end."""
+    import json as _json
+
+    import pandas as pd
+
+    from rotel_spark.parsers.fluent import (
+        EventTime,
+        encode_msgpack,
+        parse_fluent_frames,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us_col = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = events.select(
+        "event_id", "user_id", "event_type", "props",
+        us_col.alias("us"),
+        F.floor(us_col / 60_000_000).alias("minute"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        etype = pdf["event_type"].iloc[0]
+        tag = f"app.{etype}"
+
+        def record(r, body_key: str) -> dict:
+            return {
+                body_key: f"evt {r.event_id} user {r.user_id}",
+                "user_id": int(r.user_id),
+                "k": int(_json.loads(r.props)["k"]),
+            }
+
+        if etype == "signup":
+            # consecutive Message objects in one frame (the stream-
+            # decoder path), fluentd "message" body key, integer secs
+            frame = b"".join(
+                encode_msgpack(
+                    [tag, int(r.us) // 1_000_000, record(r, "message")]
+                )
+                for r in pdf.itertuples()
+            )
+        else:
+            entries = [
+                [
+                    EventTime(
+                        int(r.us) // 1_000_000,
+                        (int(r.us) % 1_000_000) * 1000,
+                    ),
+                    record(r, "log"),
+                ]
+                for r in pdf.itertuples()
+            ]
+            msg: list = [tag, entries]
+            if etype == "error":
+                msg.append({"size": len(entries), "chunk": "c0"})
+            frame = encode_msgpack(msg)
+        return pd.DataFrame({"frame": [frame]})
+
+    frames = src.groupBy("event_type", "minute").applyInPandas(
+        _build, "frame binary"
+    )
+    records = parse_fluent_frames(frames)
+    return records.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("attributes")["user_id"].cast("long")).alias(
+            "user_sum"
+        ),
+        F.sum(F.col("attributes")["k"].cast("long")).alias("k_sum"),
+        F.max("time_unix_nano").alias("max_time_ns"),
+        F.sum(F.size("attributes").cast("long")).alias("n_attrs"),
+        F.count("body").alias("n_bodies"),
+    )
+
+
+def q_xray_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS X-Ray exporter E2E: span rows get deterministic routed
+    attributes (http.request/response, annotation, metadata, aws, plus
+    an unrouted key that must drop), transform to segment documents
+    (sinks/xray.py ← transformer.rs:353-517), then every fact is
+    decoded BACK from the JSON — trace-id format, segment/subsegment
+    split, fault/throttle/error status flags, numeric-parsed metadata,
+    region fallback — and must equal oracle arithmetic on raw events."""
+    from rotel_spark.sinks.xray import spans_to_segments
+    from rotel_spark.telemetry import events_to_spans
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = events_to_spans(events)
+    status = (
+        F.when(F.col("name") == "error", F.lit("500"))
+        .when(F.col("name") == "signup", F.lit("429"))
+        .when(F.col("name") == "purchase", F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    spans = spans.withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("http.request.method"), F.lit("GET"),
+            F.lit("http.response.status"), status,
+            F.lit("annotation.service"), F.col("service_name"),
+            F.lit("metadata.kind"), F.col("kind").cast("string"),
+            F.lit("other.ignored"), F.lit("zzz"),
+        ),
+    )
+    segs = spans_to_segments(
+        spans, environment="prod", region="us-east-1"
+    )
+    schema = (
+        "STRUCT<trace_id:STRING, id:STRING, name:STRING,"
+        " start_time:DOUBLE, end_time:DOUBLE, type:STRING,"
+        " parent_id:STRING, fault:BOOLEAN, throttle:BOOLEAN,"
+        " error:BOOLEAN,"
+        " metadata:STRUCT<environment:STRING, kind:BIGINT>,"
+        " annotations:STRUCT<service:STRING>,"
+        " http:STRUCT<request:STRUCT<method:STRING>,"
+        " response:STRUCT<status:STRING>>,"
+        " aws:STRUCT<region:STRING>>"
+    )
+    d = segs.select(F.from_json("segment_json", schema).alias("s"))
+    return d.groupBy(F.col("s.name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("s.type") == "segment").cast("long")).alias(
+            "n_segments"
+        ),
+        F.sum(
+            F.coalesce(F.col("s.fault"), F.lit(False)).cast("long")
+        ).alias("n_fault"),
+        F.sum(
+            F.coalesce(F.col("s.throttle"), F.lit(False)).cast("long")
+        ).alias("n_throttle"),
+        F.sum(
+            F.coalesce(F.col("s.error"), F.lit(False)).cast("long")
+        ).alias("n_error"),
+        F.sum("s.metadata.kind").alias("kind_sum"),
+        F.sum(
+            (F.col("s.metadata.environment") == "prod").cast("long")
+        ).alias("n_env"),
+        F.sum(
+            (F.col("s.aws.region") == "us-east-1").cast("long")
+        ).alias("n_region"),
+        F.count_distinct("s.trace_id").alias("n_traces"),
+        F.max(
+            F.floor(F.col("s.end_time") * 1000000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("max_end_us"),
+    )
+
+
+def q_clickhouse_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse SpanRow transform (transform_traces.rs:103-124;
+    schema.rs:22-83): spans get deterministic attributes, events
+    (error spans carry a second 'exception' event) and links (children
+    link to their root), normalize to the exact 22-column SpanRow
+    shape, then per-SpanKind facts — kind strings, Unset/Ok/Error
+    status mapping, duration clamp, Nested parallel arrays — must
+    equal oracle arithmetic on raw events."""
+    from rotel_spark.schema import to_span_row
+    from rotel_spark.telemetry import events_to_spans
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = events_to_spans(events)
+    is_err = F.col("name") == "error"
+    is_root = F.col("parent_span_id") == ""
+    empty_map = F.create_map().cast("map<string,string>")
+    spans = (
+        spans.withColumn(
+            "attributes",
+            F.create_map(F.lit("peer"), F.col("service_name")),
+        )
+        .withColumn(
+            "events_timestamp",
+            F.when(
+                is_err,
+                F.array("start_time_unix_nano", "end_time_unix_nano"),
+            ).otherwise(F.array("start_time_unix_nano")),
+        )
+        .withColumn(
+            "events_name",
+            F.when(
+                is_err, F.array(F.lit("start"), F.lit("exception"))
+            ).otherwise(F.array(F.lit("start"))),
+        )
+        .withColumn(
+            "events_attributes",
+            F.when(is_err, F.array(empty_map, empty_map)).otherwise(
+                F.array(empty_map)
+            ),
+        )
+        .withColumn(
+            "links_trace_id",
+            F.when(is_root, F.array().cast("array<string>")).otherwise(
+                F.array("trace_id")
+            ),
+        )
+        .withColumn(
+            "links_span_id",
+            F.when(is_root, F.array().cast("array<string>")).otherwise(
+                F.array("parent_span_id")
+            ),
+        )
+        .withColumn(
+            "links_trace_state",
+            F.when(is_root, F.array().cast("array<string>")).otherwise(
+                F.array(F.lit(""))
+            ),
+        )
+        .withColumn(
+            "links_attributes",
+            F.when(
+                is_root, F.array().cast("array<map<string,string>>")
+            ).otherwise(F.array(empty_map)),
+        )
+    )
+    rows = to_span_row(spans)
+    return rows.groupBy("SpanKind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("TraceId").alias("n_traces"),
+        F.sum("Duration").alias("dur_sum"),
+        F.sum((F.col("StatusCode") == "Error").cast("long")).alias(
+            "n_error"
+        ),
+        F.sum((F.col("ParentSpanId") == "").cast("long")).alias("n_root"),
+        F.sum(F.size("`Events.Name`").cast("long")).alias("ev_total"),
+        F.sum(F.size("`Links.SpanId`").cast("long")).alias("link_total"),
+    )
+
+
+def q_clickhouse_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse per-type metric row tables (transform_metrics.rs:
+    69-255; column orders schema.rs:222-398): typed datapoints split
+    into the five RequestType tables, then per-table facts — row
+    counts, metric-name cardinality, Count totals, bucket-array
+    totals, quantile-pair shape, Value/Max maxima — must equal oracle
+    arithmetic on raw events."""
+    from rotel_spark.schema import to_metric_rows
+    from rotel_spark.telemetry import events_to_typed_datapoints
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = to_metric_rows(events_to_typed_datapoints(events))
+
+    def facts(t: str, frame: DataFrame) -> DataFrame:
+        zero = F.lit(0).cast("long")
+        total_count = (
+            F.sum("Count") if "Count" in frame.columns else F.sum(zero)
+        )
+        if t == "histogram":
+            bucket_total = F.sum(
+                F.element_at("`BucketCounts`", 1).cast("long")
+            )
+        elif t == "exponential_histogram":
+            bucket_total = F.sum(
+                F.element_at("`PositiveBucketCounts`", 1).cast("long")
+            )
+        else:
+            bucket_total = F.sum(zero)
+        if t == "summary":
+            quant_total = F.sum(
+                F.size("`ValueAtQuantiles.Quantile`").cast("long")
+            )
+            max_val = F.max(F.element_at("`ValueAtQauntiles.Value`", 2))
+        elif t in ("gauge", "sum"):
+            quant_total = F.sum(zero)
+            max_val = F.max("Value")
+        else:
+            quant_total = F.sum(zero)
+            max_val = F.max("Max")
+        return frame.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("MetricName").alias("n_names"),
+            F.count_distinct("ServiceName").alias("n_services"),
+            F.max("TimeUnix").alias("max_time"),
+            total_count.alias("total_count"),
+            bucket_total.alias("bucket_total"),
+            quant_total.alias("quant_total"),
+            F.round(max_val, 6).alias("max_val_r"),
+        ).select(F.lit(t).alias("row_type"), "*")
+
+    out = None
+    for t, frame in rows.items():
+        f = facts(t, frame)
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def q_rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse FULL wire encode→decode: LogRecordRows serialize to
+    RowBinary (rowbinary/ser.rs:1-341 — LEB128 strings, fixed-width
+    LE ints, Map/Array nesting) wrapped in the native lz4+cityhash
+    compressed frame (compression/lz4.rs:40-61), then every row is
+    decoded BACK from the frame bytes — checksum verify → lz4
+    decompress → RowBinary decode — and per-severity aggregates must
+    equal arithmetic the oracle derives from the raw pages, proving
+    the whole wire stack lossless at the byte boundary."""
+    import pandas as pd
+
+    from rotel_spark.schema import to_log_record_row
+    from rotel_spark.sinks.ch_compress import decompress_frame
+    from rotel_spark.sinks.rowbinary import (
+        LOG_ROW_CH_TYPES,
+        decode_rows,
+        rows_to_rowbinary,
+    )
+
+    df = upsert_resource_attributes(
+        _parsed(spark, sf_dir), {"service.name": "web-crawl"}
+    )
+    payloads = rows_to_rowbinary(
+        to_log_record_row(df), LOG_ROW_CH_TYPES, compress=True
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            recs = []
+            for payload in pdf["payload"]:
+                raw = decompress_frame(bytes(payload))
+                for r in decode_rows(raw, LOG_ROW_CH_TYPES):
+                    recs.append(
+                        (
+                            r["SeverityText"],
+                            r["SeverityNumber"],
+                            r["Timestamp"],
+                            len(r["Body"]),
+                            r["ServiceName"],
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["sev_text", "sev_num", "ts", "body_len", "svc"],
+            )
+
+    decoded = payloads.mapInPandas(
+        _decode,
+        "sev_text string, sev_num int, ts long, body_len int, svc string",
+    )
+    return decoded.groupBy("sev_text").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("sev_num").cast("long")).alias("sev_sum"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.col("body_len").cast("long")).alias("body_len_sum"),
+        F.sum((F.col("svc") == "web-crawl").cast("long")).alias("n_svc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1176,6 +1562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_request_roundtrip": q_otlp_request_roundtrip,
         "stratified_sample": q_stratified_sample,
         "embedding_quantize": q_embedding_quantize,
+        "fluent_parse": q_fluent_parse,
+        "xray_segment": q_xray_segment,
+        "clickhouse_trace_rows": q_clickhouse_trace_rows,
+        "clickhouse_metric_rows": q_clickhouse_metric_rows,
+        "rowbinary_roundtrip": q_rowbinary_roundtrip,
     }
 
 
@@ -1454,19 +1845,21 @@ SELECT (fmt = 9) AS used_fallback, count(*) AS n FROM pages GROUP BY 1
 """,
         "clickhouse_rows": f"""
 WITH {PAGES}
-SELECT
-  CASE WHEN fmt = 9 THEN 0 ELSE ts_sec * 1000000000 END AS Timestamp,
-  CASE WHEN fmt IN (0, 2) THEN {sev_t}
-       WHEN fmt = 1 THEN {level_text_sql()}
-       WHEN fmt = 3 THEN {kmsg_text_sql()}
-       ELSE '' END AS SeverityText,
-  CASE WHEN fmt IN (0, 2) THEN {sev_n}
-       WHEN fmt = 1 THEN {kmsg_level_sql()}
-       WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
-       ELSE 0 END AS SeverityNumber,
-  'web-crawl' AS ServiceName,
-  log_line AS Body
-FROM pages
+{_ch_log_row_select(sev_t, sev_n)}
+""",
+        # same LogRecordRow derivation, re-aggregated after the wire
+        # round-trip (the codec is invisible to a lossless oracle)
+        "rowbinary_roundtrip": f"""
+WITH {PAGES},
+rowsrc AS ({_ch_log_row_select(sev_t, sev_n)})
+SELECT SeverityText AS sev_text,
+  COUNT(*) AS n_rows,
+  CAST(SUM(SeverityNumber) AS BIGINT) AS sev_sum,
+  MAX(Timestamp) AS max_ts,
+  CAST(SUM(length(Body)) AS BIGINT) AS body_len_sum,
+  COUNT(*) AS n_svc
+FROM rowsrc
+GROUP BY sev_text
 """,
         "minhash_dedup": f"""
 WITH {_shingles_cte("documents", "doc_id", "text")},
@@ -1618,27 +2011,61 @@ SELECT service,
        CAST(ceil((n_gauge + 4 * n_groups) / 2048.0) AS BIGINT) AS n_batches
 FROM g
 """,
+        # per-type docs: gauge plain value = max of round-6 values
+        # (deterministic stand-in for the reference's arrival-order
+        # last-wins), sum = group total, histogram family = stat set,
+        # summary = _count/_sum suffix fields
         "emf_document": """
 WITH dp AS (
-  SELECT 'events.' || event_type || '.value' AS metric_name,
-         'rotel/events' AS namespace,
+  SELECT 'rotel/events' AS namespace,
          'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
          event_type,
          (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm,
          value
-  FROM events)
-SELECT service, event_type,
-       CAST(tsm / 1000000 AS BIGINT) AS ts_ms,
-       namespace,
+  FROM events),
+grp AS (
+  SELECT namespace, service, event_type, tsm,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS s,
+         round(min(value), 6) AS mn,
+         round(max(value), 6) AS mx,
+         round(max(round(value, 6)), 6) AS gx
+  FROM dp GROUP BY 1, 2, 3, 4)
+SELECT service, event_type, 'gauge' AS metric_type,
+       CAST(tsm / 1000000 AS BIGINT) AS ts_ms, namespace,
        '["event_type","service"]' AS dim_keys,
-       metric_name,
-       'Count' AS unit,
-       CAST(60 AS INTEGER) AS storage_resolution,
-       CAST(count(*) AS BIGINT) AS dp_count,
-       round(sum(value), 6) AS dp_sum,
-       round(min(value), 6) AS dp_min,
-       round(max(value), 6) AS dp_max
-FROM dp GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+       'events.' || event_type || '.value' AS metric_name,
+       'Count' AS unit, CAST(60 AS INTEGER) AS storage_resolution,
+       CAST(NULL AS BIGINT) AS dp_count, gx AS dp_sum,
+       CAST(NULL AS DOUBLE) AS dp_min, CAST(NULL AS DOUBLE) AS dp_max
+FROM grp
+UNION ALL
+SELECT service, event_type, 'sum', CAST(tsm / 1000000 AS BIGINT),
+       namespace, '["event_type","service"]',
+       'events.' || event_type || '.total', 'Count',
+       CAST(60 AS INTEGER), CAST(NULL AS BIGINT), s,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM grp
+UNION ALL
+SELECT service, event_type, 'histogram', CAST(tsm / 1000000 AS BIGINT),
+       namespace, '["event_type","service"]',
+       'events.' || event_type || '.hist', 'Count',
+       CAST(60 AS INTEGER), n, s, mn, mx
+FROM grp
+UNION ALL
+SELECT service, event_type, 'exponential_histogram',
+       CAST(tsm / 1000000 AS BIGINT),
+       namespace, '["event_type","service"]',
+       'events.' || event_type || '.exphist', 'Count',
+       CAST(60 AS INTEGER), n, s, mn, mx
+FROM grp
+UNION ALL
+SELECT service, event_type, 'summary', CAST(tsm / 1000000 AS BIGINT),
+       namespace, '["event_type","service"]',
+       'events.' || event_type || '.summary', 'Count',
+       CAST(60 AS INTEGER), n, s,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM grp
 """,
         "typed_attrs": """
 WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
@@ -1697,6 +2124,123 @@ SELECT vec_id, round(scale, 6) AS scale_r,
         9) AS mse_r
 FROM qq
 """,
+        # every fact derived straight from the raw events table —
+        # independent of the msgpack codec under test. Timestamp rule:
+        # Message shape (signup) carries integer unix SECONDS
+        # (truncates micros); Forward shapes carry EventTime ext-0
+        # (secs + nanos = exact micros × 1000). Each record maps to 3
+        # attributes (user_id, k, fluent.tag).
+        "fluent_parse": r"""
+SELECT 'app.' || event_type AS tag,
+  COUNT(*) AS n_records,
+  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
+       AS BIGINT) AS k_sum,
+  MAX(CASE WHEN event_type = 'signup'
+      THEN (epoch_us(ts) // 1000000) * 1000000000
+      ELSE epoch_us(ts) * 1000 END) AS max_time_ns,
+  CAST(3 * COUNT(*) AS BIGINT) AS n_attrs,
+  COUNT(*) AS n_bodies
+FROM events
+GROUP BY tag
+""",
+        # independent arithmetic on raw events; KIND_MAP / TRACE_FANOUT
+        # / status mapping re-stated literally (telemetry.py:29-37 and
+        # the query's CASE). end_time goes through the same double ops
+        # the transform applies (ns → /1e9 f64 → ×1e6 + 0.5 → floor) so
+        # float determinism carries across engines.
+        "xray_segment": """
+SELECT event_type AS name,
+  COUNT(*) AS n_spans,
+  CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_segments,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fault,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_throttle,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_error,
+  CAST(SUM(CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 3
+       WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2 WHEN 'error' THEN 1
+       ELSE 1 END) AS BIGINT) AS kind_sum,
+  COUNT(*) AS n_env,
+  COUNT(*) AS n_region,
+  COUNT(DISTINCT event_id - event_id % 4) AS n_traces,
+  CAST(MAX(floor(CAST(epoch_us(ts) * 1000
+      + CAST(floor(value * 1000000) AS BIGINT) * 1000 AS DOUBLE)
+      / 1000000000.0 * 1000000.0 + 0.5)) AS BIGINT) AS max_end_us
+FROM events
+GROUP BY event_type
+""",
+        # KIND_MAP → SpanKind strings and the events/links synthesis
+        # rules re-stated as literal arithmetic on raw events
+        "clickhouse_trace_rows": """
+WITH s AS (
+  SELECT CASE event_type WHEN 'error' THEN 'Internal'
+      WHEN 'view' THEN 'Server' WHEN 'signup' THEN 'Server'
+      ELSE 'Client' END AS SpanKind,
+    event_id, event_type,
+    CAST(floor(value * 1000000) AS BIGINT) * 1000 AS dur,
+    event_id - event_id % 4 AS root
+  FROM events)
+SELECT SpanKind,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT root) AS n_traces,
+  CAST(SUM(CASE WHEN dur > 0 THEN dur ELSE 0 END) AS BIGINT)
+    AS dur_sum,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error,
+  CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_root,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 2 ELSE 1 END) AS BIGINT)
+    AS ev_total,
+  CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS link_total
+FROM s
+GROUP BY SpanKind
+""",
+        # per-RequestType facts derived from the same grouping
+        # arithmetic events_to_typed_datapoints documents (gauge = one
+        # dp per event; the other four = one dp per service ×
+        # event_type × minute with the round-6 stat set)
+        "clickhouse_metric_rows": """
+WITH base AS (
+  SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service, event_type,
+    (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tmin, value
+  FROM events),
+grp AS (
+  SELECT service, event_type, tmin, COUNT(*) AS n,
+    round(SUM(value), 6) AS s, round(MIN(value), 6) AS mn,
+    round(MAX(value), 6) AS mx
+  FROM base GROUP BY 1, 2, 3)
+SELECT 'gauge' AS row_type, COUNT(*) AS n_rows,
+  COUNT(DISTINCT event_type) AS n_names,
+  COUNT(DISTINCT service) AS n_services,
+  MAX(tmin) AS max_time, CAST(0 AS BIGINT) AS total_count,
+  CAST(0 AS BIGINT) AS bucket_total, CAST(0 AS BIGINT) AS quant_total,
+  round(MAX(round(value, 6)), 6) AS max_val_r
+FROM base
+UNION ALL
+SELECT 'sum', COUNT(*), COUNT(DISTINCT event_type),
+  COUNT(DISTINCT service), MAX(tmin), CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), round(MAX(s), 6)
+FROM grp
+UNION ALL
+SELECT 'histogram', COUNT(*), COUNT(DISTINCT event_type),
+  COUNT(DISTINCT service), MAX(tmin), CAST(SUM(n) AS BIGINT),
+  CAST(SUM(n) AS BIGINT), CAST(0 AS BIGINT), round(MAX(mx), 6)
+FROM grp
+UNION ALL
+SELECT 'exponential_histogram', COUNT(*), COUNT(DISTINCT event_type),
+  COUNT(DISTINCT service), MAX(tmin), CAST(SUM(n) AS BIGINT),
+  CAST(SUM(n) AS BIGINT), CAST(0 AS BIGINT), round(MAX(mx), 6)
+FROM grp
+UNION ALL
+SELECT 'summary', COUNT(*), COUNT(DISTINCT event_type),
+  COUNT(DISTINCT service), MAX(tmin), CAST(SUM(n) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(2 * COUNT(*) AS BIGINT), round(MAX(mx), 6)
+FROM grp
+""",
     }
 
 
@@ -1735,6 +2279,24 @@ sh AS (
 
 
 # --- helper SQL fragments for the nginx-error level severity (fmt=1) ------
+
+def _ch_log_row_select(sev_t: str, sev_n: str) -> str:
+    """Shared LogRecordRow derivation (clickhouse_rows +
+    rowbinary_roundtrip oracles)."""
+    return f"""SELECT
+  CASE WHEN fmt = 9 THEN 0 ELSE ts_sec * 1000000000 END AS Timestamp,
+  CASE WHEN fmt IN (0, 2) THEN {sev_t}
+       WHEN fmt = 1 THEN {level_text_sql()}
+       WHEN fmt = 3 THEN {kmsg_text_sql()}
+       ELSE '' END AS SeverityText,
+  CASE WHEN fmt IN (0, 2) THEN {sev_n}
+       WHEN fmt = 1 THEN {kmsg_level_sql()}
+       WHEN fmt = 3 THEN {kmsg_severity_number_sql("prio")}
+       ELSE 0 END AS SeverityNumber,
+  'web-crawl' AS ServiceName,
+  log_line AS Body
+FROM pages"""
+
 
 def kmsg_level_sql() -> str:
     """fmt=1 severity_number from the generated level cycle

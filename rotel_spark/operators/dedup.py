@@ -147,7 +147,7 @@ def minhash_lsh_pairs(
                 lambda eq: eq,
             )
         )
-        / F.lit(float(len_range := num_hashes))
+        / F.lit(float(num_hashes))
     )
     return (
         cand.withColumn("jaccard", est)
@@ -405,6 +405,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     prev_sum = None
+    converged = False
+    prev_checkpoint = None
     for _ in range(max_iter):
         neigh = edges.join(
             labels, edges["src"] == labels["node"]
@@ -415,8 +417,23 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # free the previous round's checkpointed blocks — long runs
+        # otherwise accumulate one cached RDD per round in block
+        # storage (ContextCleaner would get there eventually via GC;
+        # explicit unpersist bounds storage deterministically)
+        if prev_checkpoint is not None:
+            prev_checkpoint.unpersist()
+        prev_checkpoint = labels
         s = labels.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a component wider than max_iter rounds would return WRONG
+        # (split) cluster labels — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter (component diameter exceeds it)"
+        )
     return labels.select("node", F.col("label").alias("cluster"))

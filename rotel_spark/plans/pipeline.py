@@ -145,13 +145,72 @@ def build_pipeline(config: dict) -> Pipeline:
 
 
 def run_job(
-    spark: SparkSession, config: dict, run_id: str = "run0"
+    spark: SparkSession,
+    config: dict,
+    run_id: str = "run0",
+    transactional_batch: str | None = None,
 ) -> dict[str, int]:
     """Full job: source → stages → fan-out sinks → lineage. Returns
-    per-sink row counts."""
+    per-sink row counts.
+
+    transactional_batch: enables crash-safe batch commit for file
+    sinks (requires lineage_path). Each invocation writes its sink
+    output into an invisible staging dir (`_staging_<batch>` — the
+    leading underscore hides it from Spark readers), then atomically
+    renames it to `batch=<batch>` (visible; partition-discovery
+    compatible), then commits the lineage ranges. Crash windows:
+      * during the write — only invisible staging dirs exist; the
+        v2-committer task files that survived the crash are cleaned
+        on the next attempt;
+      * after rename, before lineage commit — the next attempt
+        detects visible batch dirs with no matching lineage stage and
+        rolls them back before re-processing.
+    Either way a re-driven batch produces exactly-once sink rows.
+    This is the local-fs/HDFS model of an Iceberg snapshot commit —
+    on an object store the rename step is replaced by a table-format
+    commit, same two-phase structure (north rule: resumable
+    mid-pipeline after executor loss)."""
+    import os
+    import shutil
+
     from ..fixtures import extract_log_line, load_pages_full
     from ..lineage import committed_ranges, resume_filter, write_lineage
     from ..sinks.writer import fan_out
+
+    batch_stage = None
+    if transactional_batch is not None:
+        if not config.get("lineage_path"):
+            raise ValueError("transactional_batch requires lineage_path")
+        batch_stage = f"export:{transactional_batch}"
+        cp_all = committed_ranges(spark, config["lineage_path"], run_id)
+        committed_stages = {
+            r["stage"]
+            for r in cp_all.select("stage").distinct().collect()
+        }
+        if batch_stage in committed_stages:
+            # fully committed batch — idempotent re-drive is a no-op;
+            # return the recorded counts
+            import json as _json
+
+            row = (
+                cp_all.filter(F.col("stage") == batch_stage)
+                .select("sink_counts")
+                .first()
+            )
+            return _json.loads(row["sink_counts"]) if row else {}
+        for s in config["sinks"]:
+            if not s.get("path"):
+                continue
+            visible = os.path.join(
+                s["path"], f"batch={transactional_batch}"
+            )
+            staging = os.path.join(
+                s["path"], f"_staging_{transactional_batch}"
+            )
+            # roll back orphans from a crashed prior attempt
+            for orphan in (visible, staging):
+                if os.path.exists(orphan):
+                    shutil.rmtree(orphan)
 
     src = config["source"]
     if src["kind"] == "pages_synthetic":
@@ -206,6 +265,24 @@ def run_job(
     # differently and commit ranges for rows never written — breaking
     # the exactly-once resume contract), and lineage must not re-run
     # the parse DAG
+    if batch_stage is not None:
+        # two-phase commit: write into invisible staging dirs
+        staged_pairs = []
+        staged_sinks = []
+        for s in sinks:
+            if s.get("path") and s.get("format", "parquet") != "noop":
+                staging = os.path.join(
+                    s["path"], f"_staging_{transactional_batch}"
+                )
+                visible = os.path.join(
+                    s["path"], f"batch={transactional_batch}"
+                )
+                staged_pairs.append((staging, visible))
+                staged_sinks.append({**s, "path": staging})
+            else:
+                staged_sinks.append(s)
+        sinks = staged_sinks
+
     need_lineage = bool(config.get("lineage_path"))
     if need_lineage:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
@@ -218,11 +295,20 @@ def run_job(
             ),
             persist=not need_lineage,
         )
+        if batch_stage is not None:
+            # phase 2a: atomic renames make every sink's batch visible
+            for staging, visible in staged_pairs:
+                if os.path.exists(staging):
+                    os.rename(staging, visible)
         if need_lineage:
+            # phase 2b: lineage commit marks the batch processed; a
+            # crash between 2a and here is healed by the next
+            # attempt's orphan rollback
             write_lineage(
                 out,
                 config["lineage_path"],
                 run_id=run_id,
+                stage=batch_stage or "export",
                 sink_counts=counts,
             )
     finally:

@@ -1,0 +1,345 @@
+"""ClickHouse native-protocol compression envelope — LZ4 + CityHash.
+
+The reference wraps each RowBinary chunk in the ClickHouse native
+compressed-block frame (/root/reference/src/exporters/clickhouse/
+compression/lz4.rs:7-61):
+
+    [16B] CityHash128 v1.0.2 checksum of header+data, halves swapped
+          (rotate_right(64)), little-endian
+    [ 1B] magic 0x82 (LZ4 block)
+    [ 4B] compressed size LE (header 9 bytes + data)
+    [ 4B] uncompressed size LE
+    [ .. ] LZ4 block-compressed data
+
+No lz4/cityhash library ships in this container, so both are
+hand-rolled from the PUBLIC specs: the LZ4 block format
+(github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md) and CityHash
+v1.0.2 (github.com/google/cityhash, the pre-1.1 variant ClickHouse
+pinned). Validated byte-for-byte against the reference's own frame
+vector (lz4.rs:63-78 `it_compresses`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MASK64 = (1 << 64) - 1
+
+# CityHash v1.0.2 constants
+K0 = 0xC3A5C85C97CB3127
+K1 = 0xB492B66FBE98F273
+K2 = 0x9AE16A3B2F90404F
+K3 = 0xC949D7C7509E6557
+K_MUL = 0x9DDFEA08EB382D69
+
+LZ4_MAGIC = 0x82
+
+
+def _f64(s: bytes, i: int) -> int:
+    return struct.unpack_from("<Q", s, i)[0]
+
+
+def _f32(s: bytes, i: int) -> int:
+    return struct.unpack_from("<I", s, i)[0]
+
+
+def _rot(v: int, shift: int) -> int:
+    if shift == 0:
+        return v
+    return ((v >> shift) | (v << (64 - shift))) & MASK64
+
+
+def _rot_at_least_1(v: int, shift: int) -> int:
+    return _rot(v, shift & 63) if (shift & 63) else _rot(v, 1)
+
+
+def _shift_mix(v: int) -> int:
+    return (v ^ (v >> 47)) & MASK64
+
+
+def _hash128_to_64(lo: int, hi: int) -> int:
+    a = ((lo ^ hi) * K_MUL) & MASK64
+    a ^= a >> 47
+    b = ((hi ^ a) * K_MUL) & MASK64
+    b ^= b >> 47
+    b = (b * K_MUL) & MASK64
+    return b
+
+
+def _hash_len_16(u: int, v: int) -> int:
+    return _hash128_to_64(u, v)
+
+
+def _hash_len_0_to_16(s: bytes) -> int:
+    n = len(s)
+    if n > 8:
+        a = _f64(s, 0)
+        b = _f64(s, n - 8)
+        return (_hash_len_16(a, _rot_at_least_1((b + n) & MASK64, n)) ^ b) & MASK64
+    if n >= 4:
+        a = _f32(s, 0)
+        return _hash_len_16((n + (a << 3)) & MASK64, _f32(s, n - 4))
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & MASK64
+        z = (n + (c << 2)) & MASK64
+        return (_shift_mix((y * K2 ^ z * K3) & MASK64) * K2) & MASK64
+    return K2
+
+
+def _city_murmur(s: bytes, seed_lo: int, seed_hi: int) -> tuple[int, int]:
+    a, b = seed_lo, seed_hi
+    c = d = 0
+    n = len(s)
+    l = n - 16
+    if l <= 0:
+        a = (_shift_mix((a * K1) & MASK64) * K1) & MASK64
+        c = ((b * K1) + _hash_len_0_to_16(s)) & MASK64
+        d = _shift_mix((a + (_f64(s, 0) if n >= 8 else c)) & MASK64)
+    else:
+        c = _hash_len_16((_f64(s, n - 8) + K1) & MASK64, a)
+        d = _hash_len_16((b + n) & MASK64, (c + _f64(s, n - 16)) & MASK64)
+        a = (a + d) & MASK64
+        i = 0
+        while True:
+            a ^= (_shift_mix((_f64(s, i) * K1) & MASK64) * K1) & MASK64
+            a = (a * K1) & MASK64
+            b ^= a
+            c ^= (_shift_mix((_f64(s, i + 8) * K1) & MASK64) * K1) & MASK64
+            c = (c * K1) & MASK64
+            d ^= c
+            i += 16
+            l -= 16
+            if l <= 0:
+                break
+    a = _hash_len_16(a, c)
+    b = _hash_len_16(d, b)
+    return (a ^ b) & MASK64, _hash_len_16(b, a)
+
+
+def city_hash_128(s: bytes) -> tuple[int, int]:
+    """CityHash128 v1.0.2 (lo, hi)."""
+    n = len(s)
+    if n >= 16:
+        seed_lo = (_f64(s, 0) ^ K3) & MASK64
+        seed_hi = _f64(s, 8)
+        return _city_hash_128_with_seed(s[16:], seed_lo, seed_hi)
+    if n >= 8:
+        seed_lo = (_f64(s, 0) ^ ((n * K0) & MASK64)) & MASK64
+        seed_hi = (_f64(s, n - 8) ^ K1) & MASK64
+        return _city_hash_128_with_seed(b"", seed_lo, seed_hi)
+    return _city_hash_128_with_seed(s, K0, K1)
+
+
+def _city_hash_128_with_seed(
+    s: bytes, seed_lo: int, seed_hi: int
+) -> tuple[int, int]:
+    if len(s) < 128:
+        return _city_murmur(s, seed_lo, seed_hi)
+    # ≥128-byte path (city.cc v1.0.2 CityHash128WithSeed): chunked
+    # mixing over two 56-byte rolling states
+    x, y = seed_lo, seed_hi
+    n = len(s)
+    z = (n * K1) & MASK64
+    v0 = (_rot((y ^ K1) & MASK64, 49) * K1 + _f64(s, 0)) & MASK64
+    v1 = (_rot(v0, 42) * K1 + _f64(s, 8)) & MASK64
+    w0 = (_rot((y + z) & MASK64, 35) * K1 + x) & MASK64
+    w1 = (_rot((x + _f64(s, 88)) & MASK64, 53) * K1) & MASK64
+
+    def weak_hash32(s: bytes, i: int, a: int, b: int) -> tuple[int, int]:
+        w = _f64(s, i)
+        xx = _f64(s, i + 8)
+        yy = _f64(s, i + 16)
+        zz = _f64(s, i + 24)
+        a = (a + w) & MASK64
+        b = _rot((b + a + zz) & MASK64, 21)
+        c = a
+        a = (a + xx + yy) & MASK64
+        b = (b + _rot(a, 44)) & MASK64
+        return (a + zz) & MASK64, (b + c) & MASK64
+
+    pos = 0
+    rem = n
+    while True:
+        x = (_rot((x + y + v0 + _f64(s, pos + 16)) & MASK64, 37) * K1) & MASK64
+        y = (_rot((y + v1 + _f64(s, pos + 48)) & MASK64, 42) * K1) & MASK64
+        x ^= w1
+        y ^= v0
+        z = _rot((z ^ w0) & MASK64, 33)
+        v0, v1 = weak_hash32(s, pos, (v1 * K1) & MASK64, (x + w0) & MASK64)
+        w0, w1 = weak_hash32(s, pos + 32, (z + w1) & MASK64, y)
+        z, x = x, z
+        pos += 64
+        x = (_rot((x + y + v0 + _f64(s, pos + 16)) & MASK64, 37) * K1) & MASK64
+        y = (_rot((y + v1 + _f64(s, pos + 48)) & MASK64, 42) * K1) & MASK64
+        x ^= w1
+        y ^= v0
+        z = _rot((z ^ w0) & MASK64, 33)
+        v0, v1 = weak_hash32(s, pos, (v1 * K1) & MASK64, (x + w0) & MASK64)
+        w0, w1 = weak_hash32(s, pos + 32, (z + w1) & MASK64, y)
+        z, x = x, z
+        pos += 64
+        rem -= 128
+        if rem < 128:
+            break
+    y = (y + _rot(w0, 37) * K0 + z) & MASK64
+    x = (x + _rot((v0 + z) & MASK64, 49) * K0) & MASK64
+    tail_done = 0
+    while tail_done < rem:
+        tail_done += 32
+        y = (_rot((y - x) & MASK64, 42) * K0 + v1) & MASK64
+        w0 = (w0 + _f64(s, n - tail_done + 16)) & MASK64
+        x = (_rot(x, 49) * K0 + w0) & MASK64
+        w0 = (w0 + v0) & MASK64
+        v0, v1 = weak_hash32(s, n - tail_done, v0, v1)
+    x = _hash_len_16(x, v0)
+    y = _hash_len_16(y, w0)
+    return (
+        (_hash_len_16((x + v1) & MASK64, w1) + y) & MASK64,
+        _hash_len_16((x + w1) & MASK64, (y + v1) & MASK64),
+    )
+
+
+def cityhash_102_128_swapped(data: bytes) -> bytes:
+    """Checksum bytes as ClickHouse writes them: CityHash128 v1.0.2,
+    halves swapped (lz4.rs:35-38 rotate_right(64)), u128 LE."""
+    lo, hi = city_hash_128(data)
+    # net effect of cityhash_rs's u128 packing + rotate_right(64) +
+    # put_u128_le (validated against lz4.rs:63-78's frame vector):
+    # (lo, hi) halves land little-endian in that order
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+# --- LZ4 block codec -------------------------------------------------------
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy LZ4 block compression (public block-format spec):
+    hash-table match finder, min match 4, last-5-literals +
+    12-byte end-of-match margin rules honored."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 12  # matches must not start in the last 12 bytes
+
+    def emit(lit_start: int, lit_end: int, match_off: int, match_len: int):
+        nonlocal out
+        lit_len = lit_end - lit_start
+        token_lit = 15 if lit_len >= 15 else lit_len
+        if match_len:
+            token_mat = match_len - 4
+            token = (token_lit << 4) | (15 if token_mat >= 15 else token_mat)
+        else:
+            token = token_lit << 4
+        out.append(token)
+        if lit_len >= 15:
+            r = lit_len - 15
+            while r >= 255:
+                out.append(255)
+                r -= 255
+            out.append(r)
+        out += src[lit_start:lit_end]
+        if match_len:
+            out += struct.pack("<H", match_off)
+            r = match_len - 4
+            if r >= 15:
+                r -= 15
+                while r >= 255:
+                    out.append(255)
+                    r -= 255
+                out.append(r)
+
+    while i < limit:
+        seq = src[i:i + 4]
+        key = int.from_bytes(seq, "little")
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 0xFFFF
+            and src[cand:cand + 4] == seq
+        ):
+            # extend the match, bounded so ≥5 literals remain at end
+            m = 4
+            max_m = (n - 5) - i
+            while m < max_m and src[cand + m] == src[i + m]:
+                m += 1
+            if m >= 4:
+                emit(anchor, i, i - cand, m)
+                i += m
+                anchor = i
+                continue
+        i += 1
+    emit(anchor, n, 0, 0)  # final literals-only sequence
+    return bytes(out)
+
+
+def lz4_block_decompress(src: bytes, uncompressed_size: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += src[i:i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence has no match part
+        off = struct.unpack_from("<H", src, i)[0]
+        i += 2
+        mat_len = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mat_len += b
+                if b != 255:
+                    break
+        start = len(out) - off
+        for k in range(mat_len):  # byte-wise: overlapping copies legal
+            out.append(out[start + k])
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"lz4: got {len(out)} bytes, expected {uncompressed_size}"
+        )
+    return bytes(out)
+
+
+# --- the ClickHouse frame --------------------------------------------------
+
+
+def compress_frame(uncompressed: bytes) -> bytes:
+    """lz4.rs:40-61 — checksum ++ header ++ lz4 data."""
+    data = lz4_block_compress(uncompressed)
+    header = struct.pack(
+        "<BII", LZ4_MAGIC, 9 + len(data), len(uncompressed)
+    )
+    checksum = cityhash_102_128_swapped(header + data)
+    return checksum + header + data
+
+
+def decompress_frame(frame: bytes) -> bytes:
+    checksum, magic, comp_size, uncomp_size = (
+        frame[:16],
+        frame[16],
+        struct.unpack_from("<I", frame, 17)[0],
+        struct.unpack_from("<I", frame, 21)[0],
+    )
+    if magic != LZ4_MAGIC:
+        raise ValueError(f"bad magic 0x{magic:02x}")
+    body = frame[16:16 + comp_size]  # header ++ data, the checksummed span
+    if cityhash_102_128_swapped(body) != checksum:
+        raise ValueError("checksum mismatch")
+    return lz4_block_decompress(frame[25:16 + comp_size], uncomp_size)

@@ -125,13 +125,21 @@ def split_by_retry(
     passed), it is routed to 'permanent' — a batch re-drive loop built
     on this dead-letters exhausted batches instead of spinning. With
     cfg.indefinite the schedule never exhausts (retries forever)."""
+    prior_attempt = (
+        F.coalesce(F.col("attempt"), F.lit(0))
+        if "attempt" in df.columns
+        else F.lit(0)
+    )
     classed = df.withColumn(
         "_retry_class", classify_http_expr(F.col(status_col))
     ).withColumn(
         "attempt",
-        F.coalesce(F.col("attempt"), F.lit(0)) + 1
-        if "attempt" in df.columns
-        else F.lit(1),
+        # the increment records a CONSUMED (failed) attempt — success
+        # rows keep their prior count so downstream bookkeeping that
+        # unions the branches doesn't overstate attempts by one
+        F.when(
+            F.col("_retry_class") == "success", prior_attempt
+        ).otherwise(prior_attempt + 1),
     )
     max_attempts = len(backoff_schedule(cfg))
     exhausted = (

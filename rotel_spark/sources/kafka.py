@@ -89,15 +89,24 @@ def to_kafka_batch(
     )
 
 
-def assign_partition(key, n_partitions: int) -> "F.Column":
+def assign_partition(key, n_partitions: int, spread=None) -> "F.Column":
     """Kafka default-partitioner analog: partition = hash(key) mod
     n_partitions (the broker client uses murmur2; xxhash64 here — the
     invariants the reference's integration tests assert are per-key
     STABILITY and cross-key DISTRIBUTION, tests/kafka_integration_
-    tests.rs:490,614, not a specific hash value). Null keys get a
-    deterministic partition 0 stand-in for the round-robin path."""
+    tests.rs:490,614, not a specific hash value).
+
+    Null keys model the client's sticky/round-robin path: they spread
+    across partitions instead of hot-spotting one. `spread` names a
+    column (payload or offset) to hash for that; default is
+    spark_partition_id so each producer task sticks to one partition
+    per batch — the sticky-partitioner behavior, preserving write
+    parallelism for all-null-key streams."""
+    if spread is None:
+        spread = F.spark_partition_id()
     return F.when(
-        key.isNull(), F.lit(0)
+        key.isNull(),
+        F.pmod(F.xxhash64(spread), F.lit(n_partitions)).cast("int"),
     ).otherwise(F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int"))
 
 

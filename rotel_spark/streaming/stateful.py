@@ -44,19 +44,25 @@ def offset_tracker_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        # Filter against the RUNNING watermark (`best`), not only the
-        # prior-batch `committed`: re-delivered duplicate offsets that
-        # arrive within one micro-batch (or across pdf chunks of it)
-        # must also be suppressed for the effectively-once claim to
-        # hold intra-batch. Each chunk is offset-deduped, then only
-        # strictly-advancing offsets are emitted.
-        best = state.get[0] if state.exists else -1
+        # Two-part filter: (1) offset > prior-batch `committed`
+        # watermark suppresses cross-batch re-delivery; (2) a `seen`
+        # set suppresses intra-batch duplicates WITHOUT dropping
+        # out-of-order fresh offsets — chunk delivery order within a
+        # group is not offset-ordered after the shuffle, so filtering
+        # against a running max would silently lose any never-emitted
+        # offset that arrives after a higher one in the same batch.
+        # `seen` is bounded by the micro-batch size.
+        committed = state.get[0] if state.exists else -1
+        best = committed
+        seen: set[int] = set()
         for pdf in pdfs:
-            fresh = pdf[pdf[offset_col] > best].drop_duplicates(
-                subset=[offset_col]
-            )
+            mask = (pdf[offset_col] > committed) & ~pdf[
+                offset_col
+            ].isin(seen)
+            fresh = pdf[mask].drop_duplicates(subset=[offset_col])
             if len(fresh):
-                best = int(fresh[offset_col].max())
+                seen.update(int(o) for o in fresh[offset_col])
+                best = max(best, int(fresh[offset_col].max()))
                 yield fresh[[file_col, offset_col]]
         state.update((best,))
 

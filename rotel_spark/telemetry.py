@@ -234,28 +234,43 @@ def metrics_batch_sizing(
 
 
 def emf_documents(events: DataFrame) -> DataFrame:
-    """Grouped metrics → the CloudWatch EMF JSON log document
-    (awsemf/transformer.rs:563-618): the `_aws.CloudWatchMetrics`
-    envelope with Namespace / sorted Dimension keys / Metrics
-    directives (Unit defaults "Count", StorageResolution 60), label
-    fields at top level, and the metric value as a statistical set
-    {Count, Sum, Min, Max} (the histogram emit shape, :592-605).
-    The metric-name field sits at the TOP LEVEL of the document with a
-    data-dependent key (emf_obj.insert(metric_name, ...) in the
-    reference), so the document is assembled from to_json fragments —
-    all dynamic keys/values here are identifier-safe (no escaping
-    needed; service/event_type/metric_name are [a-z0-9.-]).
+    """Typed metrics → CloudWatch EMF JSON log documents with the
+    reference's PER-TYPE emit shapes (awsemf/transformer.rs:560-618):
+      * gauge/sum values emit as plain JSON numbers (:582-588),
+      * the histogram family emits the {Count,Sum,Min,Max}
+        statistical set (:589-605),
+      * summary emits `{name}_count` / `{name}_sum` suffix fields
+        (:606-613) while the Metrics directive still names the BASE
+        metric (cw_metrics loop :552-559 — the reference's own
+        behavior, ported faithfully).
+    The envelope carries Namespace / sorted Dimension keys / Metrics
+    directives (Unit default "Count", StorageResolution 60); labels
+    are top-level fields; the group key includes the metric TYPE
+    (create_group_key :514-530), so each document holds one type.
 
-    Output: one row per (namespace, dims, timestamp) group with
+    The metric-name field sits at the TOP LEVEL with a data-dependent
+    key, so every dynamic fragment rides through to_json (maps with
+    computed keys) and only well-formed JSON objects are concatenated
+    — quotes/backslashes/control chars in attribute-derived names
+    escape correctly instead of corrupting the document.
+
+    Gauge groups hold many datapoints; the reference's
+    last-insert-wins is arrival-order dependent (HashMap insert,
+    :507-509), which a distributed scan cannot reproduce — the
+    deterministic stand-in here is max(value), documented.
+
+    Output: one row per (namespace, dims, timestamp, type) group with
     `emf_json` plus the group keys for joining/verification."""
-    g = events_to_datapoints(events).groupBy(
-        "namespace", "service", "event_type", "ts_minute_nano"
+    dps = events_to_typed_datapoints(events)
+    g = dps.groupBy(
+        "namespace", "service", "event_type", "ts_minute_nano",
+        "metric_type",
     ).agg(
         F.first("metric_name").alias("metric_name"),
-        F.count(F.lit(1)).alias("_n"),
-        F.round(F.sum("value"), 6).alias("_sum"),
-        F.round(F.min("value"), 6).alias("_min"),
-        F.round(F.max("value"), 6).alias("_max"),
+        F.max("dp_count").alias("_n"),
+        F.max("dp_sum").alias("_sum"),
+        F.min("dp_min").alias("_min"),
+        F.max("dp_max").alias("_max"),
     )
     envelope = F.struct(
         (F.col("ts_minute_nano") / 1000000).cast("long").alias("Timestamp"),
@@ -276,28 +291,74 @@ def emf_documents(events: DataFrame) -> DataFrame:
             )
         ).alias("CloudWatchMetrics"),
     )
+
+    def body(obj_json):
+        # strip the outer braces of a to_json object so fragments
+        # compose; contents stay to_json-escaped
+        return F.regexp_replace(obj_json, r"^\{|\}$", "")
+
+    labels = body(
+        F.to_json(
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("service"), F.col("service"),
+            )
+        )
+    )
     stat_set = F.struct(
         F.col("_n").alias("Count"),
         F.col("_sum").alias("Sum"),
         F.col("_min").alias("Min"),
         F.col("_max").alias("Max"),
     )
+    plain_field = body(
+        F.to_json(
+            F.map_from_arrays(
+                F.array("metric_name"), F.array(F.col("_sum"))
+            )
+        )
+    )
+    stat_field = body(
+        F.to_json(
+            F.map_from_arrays(F.array("metric_name"), F.array(stat_set))
+        )
+    )
+    summary_fields = F.concat_ws(
+        ",",
+        body(
+            F.to_json(
+                F.map_from_arrays(
+                    F.array(F.concat(F.col("metric_name"), F.lit("_count"))),
+                    F.array(F.col("_n")),
+                )
+            )
+        ),
+        body(
+            F.to_json(
+                F.map_from_arrays(
+                    F.array(F.concat(F.col("metric_name"), F.lit("_sum"))),
+                    F.array(F.col("_sum")),
+                )
+            )
+        ),
+    )
+    value_fragment = (
+        F.when(F.col("metric_type").isin("gauge", "sum"), plain_field)
+        .when(F.col("metric_type") == "summary", summary_fields)
+        .otherwise(stat_field)
+    )
     doc = F.concat(
         F.lit('{"_aws":'),
         F.to_json(envelope),
-        F.lit(',"service":"'),
-        F.col("service"),
-        F.lit('","event_type":"'),
-        F.col("event_type"),
-        F.lit('","'),
-        F.col("metric_name"),
-        F.lit('":'),
-        F.to_json(stat_set),
+        F.lit(","),
+        labels,
+        F.lit(","),
+        value_fragment,
         F.lit("}"),
     )
     return g.select(
         "namespace", "service", "event_type", "ts_minute_nano",
-        doc.alias("emf_json"),
+        "metric_type", "metric_name", doc.alias("emf_json"),
     )
 
 

@@ -1,0 +1,209 @@
+"""Fluent forward-protocol receiver vectors.
+
+Shapes and edge cases from the reference's own tests and decoder
+(src/receivers/fluent/receiver.rs:650-716, message.rs, convert.rs
+:162-235); byte vectors are hand-assembled per the public msgpack and
+fluentd forward specs.
+"""
+
+import struct
+
+import pytest
+
+from rotel_spark.parsers.fluent import (
+    EventTime,
+    Ext,
+    FluentDecodeError,
+    decode_frames,
+    decode_msgpack,
+    encode_msgpack,
+    event_to_log_record,
+    message_entries,
+    parse_fluent_frames,
+)
+
+
+def roundtrip(obj):
+    v, off = decode_msgpack(encode_msgpack(obj))
+    return v
+
+
+class TestCodec:
+    def test_scalars_roundtrip(self):
+        for v in [None, True, False, 0, 1, 127, -1, -32, 255, 65535,
+                  1 << 32, (1 << 63) - 1, -(1 << 63), 3.5, "", "hello",
+                  "x" * 300, b"\x00\xff", "élève"]:
+            assert roundtrip(v) == v
+
+    def test_known_bytes(self):
+        # hand-assembled vectors (msgpack spec): fixstr, fixmap, uint16
+        assert encode_msgpack("abc") == b"\xa3abc"
+        assert encode_msgpack({"a": 1}) == b"\x81\xa1a\x01"
+        assert encode_msgpack(1000) == b"\xcd\x03\xe8"
+        assert encode_msgpack(-5) == b"\xfb"
+        assert decode_msgpack(b"\xce\x00\x01\x00\x00")[0] == 65536
+
+    def test_event_time_ext(self):
+        # message.rs:87-96: ext 0 = u32 BE secs ++ u32 BE nanos
+        et = EventTime(1234567890, 500_000_000)
+        raw = encode_msgpack(et)
+        assert raw == b"\xd7\x00" + struct.pack(">II", 1234567890,
+                                                500_000_000)
+        back = roundtrip(et)
+        assert back == et
+        assert back.as_nanos() == 1234567890_500000000
+
+    def test_event_time_wrong_len_rejected(self):
+        # message.rs:79-84
+        bad = b"\xc7\x04\x00\x00\x00\x00\x00"  # ext8 len=4 tag=0
+        with pytest.raises(FluentDecodeError):
+            decode_msgpack(bad)
+
+    def test_other_ext_passthrough(self):
+        v = roundtrip(Ext(5, b"\x01\x02"))
+        assert isinstance(v, Ext) and v.tag == 5 and v.data == b"\x01\x02"
+
+    def test_float32(self):
+        v, _ = decode_msgpack(b"\xca" + struct.pack(">f", 2.5))
+        assert v == 2.5
+
+    def test_invalid_utf8_string_becomes_bytes(self):
+        # rmpv keeps invalid-utf8 str as bytes (convert.rs:106-113)
+        raw = b"\xa2\xff\xfe"  # fixstr len 2, invalid utf-8
+        v, _ = decode_msgpack(raw)
+        assert v == b"\xff\xfe"
+
+    def test_truncated_raises(self):
+        # receiver.rs:701-707: incomplete array must fail, not hang
+        with pytest.raises(FluentDecodeError):
+            decode_msgpack(b"\x92\x01")  # fixarray(2) with 1 element
+
+    def test_stream_of_messages(self):
+        # FramedRead analog: consecutive top-level values in one frame
+        frame = encode_msgpack(["t1", 10, {"log": "a"}]) + encode_msgpack(
+            ["t2", 20, {"log": "b"}]
+        )
+        msgs = list(decode_frames(frame))
+        assert [m[0] for m in msgs] == ["t1", "t2"]
+
+
+class TestMessageShapes:
+    def test_message(self):
+        tag, entries = message_entries(["app.x", 100, {"log": "m"}])
+        assert tag == "app.x"
+        assert entries == [(100 * 10**9, {"log": "m"})]
+
+    def test_message_with_options(self):
+        tag, entries = message_entries(
+            ["app.x", 100, {"log": "m"}, {"size": 1}]
+        )
+        assert len(entries) == 1  # options dropped (message.rs:36)
+
+    def test_forward(self):
+        tag, entries = message_entries(
+            ["app.f", [[1, {"log": "a"}], [EventTime(2, 5), {"log": "b"}]]]
+        )
+        assert tag == "app.f"
+        assert entries[0][0] == 10**9
+        assert entries[1][0] == 2 * 10**9 + 5
+
+    def test_forward_with_options(self):
+        tag, entries = message_entries(
+            ["app.f", [[1, {"k": 1}]], {"size": 1, "compressed": "text"}]
+        )
+        assert len(entries) == 1
+
+    def test_unknown_shapes_zero_records(self):
+        # receiver.rs:682-695: valid msgpack, not a fluent shape →
+        # Unknown → len 0
+        for v in [42, "just-a-string", [], [1, 2, 3],
+                  ["tag", b"packed-forward-blob"],  # PackedForward
+                  ["tag", "not-a-ts", {"log": "x"}]]:
+            assert message_entries(v) == ("", [])
+
+
+class TestConvert:
+    def test_fluentbit_log_key_wins(self):
+        # convert.rs:61-64: "log" first, then "message"
+        lr = event_to_log_record(
+            5, "t", {"log": "L", "message": "M", "a": 1}
+        )
+        assert lr["body"] == "L"
+        assert lr["attributes"]["message"] == "M"
+        assert "log" not in lr["attributes"]
+
+    def test_fluentd_message_key_fallback(self):
+        lr = event_to_log_record(5, "t", {"message": "M"})
+        assert lr["body"] == "M"
+        assert lr["attributes"] == {"fluent.tag": "t"}
+
+    def test_no_body(self):
+        lr = event_to_log_record(5, "t", {"a": 1})
+        assert lr["body"] is None
+
+    def test_reference_vector_simple_log_record(self):
+        # convert.rs:163-201 (the reference's own test, re-expressed)
+        lr = event_to_log_record(
+            1234567890 * 10**9, "01234",
+            {"log": "Test log message", "container_id": "abc123"},
+        )
+        assert lr["time_unix_nano"] == 1234567890000000000
+        assert lr["body"] == "Test log message"
+        assert sorted(lr["attributes"]) == ["container_id", "fluent.tag"]
+        assert lr["severity_number"] == 0
+        assert lr["severity_text"] == ""
+        assert lr["observed_time_unix_nano"] == 0
+
+    def test_value_types(self):
+        # convert.rs:97-153 value mapping through coerce_scalar
+        lr = event_to_log_record(
+            1, "t",
+            {"i": 42, "b": True, "f": 3.5, "by": b"\x01\xab",
+             "arr": [1, 2], "m": {"k": "v"}, "n": None,
+             "ext": Ext(9, b"\x07")},
+        )
+        a = lr["attributes"]
+        assert a["i"] == "42"
+        assert a["b"] == "true"
+        assert a["f"] == "3.5"
+        assert a["by"] == "01ab"
+        assert a["arr"] == "[1,2]"
+        assert a["m"] == '{"k":"v"}'
+        assert "n" not in a  # nil drops (coerce_scalar None)
+        assert a["ext"] == "07"  # ext payload → bytes → hex
+
+    def test_non_string_map_keys_dropped(self):
+        lr = event_to_log_record(1, "t", {1: "x", "ok": "y"})
+        assert "ok" in lr["attributes"]
+        assert "1" not in lr["attributes"]
+
+
+class TestSpark:
+    def test_parse_fluent_frames(self, spark):
+        frames = [
+            encode_msgpack(["svc.a", 100, {"log": "hello", "n": 1}]),
+            encode_msgpack(
+                ["svc.b",
+                 [[EventTime(7, 25), {"log": "x"}], [8, {"message": "y"}]],
+                 {"size": 2}]
+            )
+            + encode_msgpack(["svc.a", 101, {"log": "tail"}]),
+            encode_msgpack(["ignored", b"packed"]),  # Unknown → 0 rows
+        ]
+        df = spark.createDataFrame(
+            [(bytearray(f),) for f in frames], "frame binary"
+        )
+        rows = {
+            (r["tag"], r["time_unix_nano"]): r
+            for r in parse_fluent_frames(df).collect()
+        }
+        assert len(rows) == 4
+        assert rows[("svc.a", 100 * 10**9)]["body"] == "hello"
+        assert rows[("svc.a", 100 * 10**9)]["attributes"] == {
+            "n": "1", "fluent.tag": "svc.a"
+        }
+        assert rows[("svc.b", 7 * 10**9 + 25)]["body"] == "x"
+        assert rows[("svc.b", 8 * 10**9)]["body"] == "y"
+        assert rows[("svc.a", 101 * 10**9)]["body"] == "tail"
+        for r in rows.values():
+            assert r["severity_number"] == 0

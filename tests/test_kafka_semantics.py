@@ -186,3 +186,27 @@ def test_kafka_key_order_insensitive_through_shaping(spark):
         for d in (df1, df2)
     )
     assert p1.key == p2.key and p1.p == p2.p
+
+
+def test_null_key_spreads_partitions(spark):
+    """ADVICE r3: null-key records must not hotspot partition 0 — the
+    sticky/round-robin analog spreads them (default: by producer task
+    id; here an explicit spread column for determinism)."""
+    from pyspark.sql import functions as F
+
+    from rotel_spark.sources.kafka import assign_partition
+
+    df = spark.range(0, 2000).select(
+        F.lit(None).cast("string").alias("key"), F.col("id")
+    )
+    parts = (
+        df.select(
+            assign_partition(F.col("key"), 8, spread=F.col("id")).alias("p")
+        )
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert len(parts) == 8  # every partition hit
+    counts = [r["count"] for r in parts]
+    assert max(counts) < 2 * min(counts)  # roughly uniform

@@ -58,6 +58,9 @@ def test_split_by_retry_df(spark):
     assert all(r.attempt == 1 for r in retry.values())
     assert all(r.next_attempt_delay_s == 5.0 for r in retry.values())
     assert {r.id for r in parts["permanent"].collect()} == {3}
+    # ADVICE r3: success rows keep their prior attempt count — the
+    # increment records a consumed (failed) attempt only
+    assert parts["success"].collect()[0].attempt == 0
 
 
 def test_split_by_retry_exhaustion_dead_letters(spark):

@@ -1,0 +1,171 @@
+"""RowBinary codec vectors (rowbinary/ser.rs semantics + the public
+format doc). Known-byte vectors are hand-assembled."""
+
+import struct
+
+import pytest
+
+from rotel_spark.sinks.rowbinary import (
+    LOG_ROW_CH_TYPES,
+    SPAN_ROW_CH_TYPES,
+    decode_rows,
+    decode_value,
+    encode_rows,
+    encode_value,
+    put_leb128,
+    read_leb128,
+)
+
+
+def enc(chtype, v) -> bytes:
+    out = bytearray()
+    encode_value(out, chtype, v)
+    return bytes(out)
+
+
+def rt(chtype, v):
+    raw = enc(chtype, v)
+    back, off = decode_value(raw, 0, chtype)
+    assert off == len(raw)
+    return back
+
+
+class TestLeb128:
+    def test_vectors(self):
+        # ser.rs:314-327
+        for value, raw in [(0, b"\x00"), (127, b"\x7f"),
+                           (128, b"\x80\x01"), (300, b"\xac\x02"),
+                           (624485, b"\xe5\x8e\x26")]:
+            out = bytearray()
+            put_leb128(out, value)
+            assert bytes(out) == raw
+            assert read_leb128(raw, 0) == (value, len(raw))
+
+
+class TestScalars:
+    def test_known_bytes(self):
+        # little-endian fixed widths (ser.rs:49-72)
+        assert enc("UInt8", 7) == b"\x07"
+        assert enc("UInt16", 0x0102) == b"\x02\x01"
+        assert enc("UInt32", 1) == b"\x01\x00\x00\x00"
+        assert enc("UInt64", 2**40) == struct.pack("<Q", 2**40)
+        assert enc("Int64", -1) == b"\xff" * 8
+        assert enc("Int32", -2) == struct.pack("<i", -2)
+        assert enc("Float64", 1.5) == struct.pack("<d", 1.5)
+        assert enc("Bool", True) == b"\x01"
+        assert enc("Bool", False) == b"\x00"
+
+    def test_string(self):
+        # LEB128 length ++ utf8 (ser.rs:85-89)
+        assert enc("String", "abc") == b"\x03abc"
+        assert enc("String", "") == b"\x00"
+        raw = enc("String", "é")
+        assert raw == b"\x02\xc3\xa9"
+        assert enc("String", "x" * 200)[0:2] == b"\xc8\x01"
+
+    def test_lowcardinality_same_wire(self):
+        assert enc("LowCardinality(String)", "abc") == enc("String", "abc")
+
+    def test_nullable(self):
+        # flag byte: 1 = NULL, 0 ++ value (ser.rs:99-109)
+        assert enc("Nullable(String)", None) == b"\x01"
+        assert enc("Nullable(String)", "hi") == b"\x00\x02hi"
+        assert rt("Nullable(UInt32)", None) is None
+        assert rt("Nullable(UInt32)", 9) == 9
+
+    def test_roundtrip_scalars(self):
+        for t, v in [("UInt64", 2**63), ("Int64", -(2**62)),
+                     ("UInt8", 255), ("Int8", -128),
+                     ("Float32", 2.5), ("Float64", -0.125),
+                     ("String", "héllo wörld")]:
+            assert rt(t, v) == v
+
+
+class TestNested:
+    def test_array(self):
+        # LEB128 count ++ elements (ser.rs:165-170)
+        assert enc("Array(UInt8)", [1, 2, 3]) == b"\x03\x01\x02\x03"
+        assert enc("Array(String)", []) == b"\x00"
+        assert rt("Array(String)", ["a", "", "ccc"]) == ["a", "", "ccc"]
+        assert rt("Array(Array(UInt64))", [[1], [], [2, 3]]) == [
+            [1], [], [2, 3]
+        ]
+
+    def test_map(self):
+        # pair count ++ alternating k/v (MapOrJson::Map as seq of
+        # tuples, schema.rs:400-415)
+        assert (
+            enc("Map(String,String)", {"k": "v"}) == b"\x01\x01k\x01v"
+        )
+        assert rt("Map(String,String)", {"a": "1", "b": ""}) == {
+            "a": "1", "b": "",
+        }
+        # tuple-sequence input (Arrow map representation)
+        assert enc("Map(String,String)", [("k", "v")]) == b"\x01\x01k\x01v"
+
+    def test_array_of_maps(self):
+        v = [{"a": "1"}, {}, {"b": "2", "c": "3"}]
+        assert rt("Array(Map(String,String))", v) == v
+
+    def test_unsupported_type_raises(self):
+        with pytest.raises(ValueError):
+            enc("DateTime64(9)", 5)
+
+
+class TestRows:
+    def test_log_row_roundtrip(self):
+        row = {
+            "Timestamp": 1_700_000_000_000_000_000,
+            "TraceId": "0af7651916cd43dd8448eb211c80319c",
+            "SpanId": "b7ad6b7169203331",
+            "TraceFlags": 1,
+            "SeverityText": "ERROR",
+            "SeverityNumber": 17,
+            "ServiceName": "web-crawl",
+            "Body": "GET /x 500\n",
+            "ResourceSchemaUrl": "",
+            "ResourceAttributes": {"service.name": "web-crawl"},
+            "ScopeSchemaUrl": "",
+            "ScopeName": "",
+            "ScopeVersion": "",
+            "ScopeAttributes": {},
+            "LogAttributes": {"path": "/x", "status": "500"},
+        }
+        raw = encode_rows(iter([row, row]), LOG_ROW_CH_TYPES)
+        back = decode_rows(raw, LOG_ROW_CH_TYPES)
+        assert back == [row, row]
+
+    def test_span_row_roundtrip(self):
+        row = {
+            "Timestamp": 1_700_000_000_000_000_000,
+            "TraceId": "ab" * 16,
+            "SpanId": "cd" * 8,
+            "ParentSpanId": "",
+            "TraceState": "",
+            "SpanName": "GET /api",
+            "SpanKind": "Server",
+            "ServiceName": "svc-1",
+            "ResourceAttributes": {"service.name": "svc-1"},
+            "ScopeName": "",
+            "ScopeVersion": "",
+            "SpanAttributes": {"peer": "svc-2"},
+            "Duration": 1_500_000,
+            "StatusCode": "Ok",
+            "StatusMessage": "",
+            "Events.Timestamp": [1_700_000_000_000_000_000],
+            "Events.Name": ["start"],
+            "Events.Attributes": [{}],
+            "Links.TraceId": [],
+            "Links.SpanId": [],
+            "Links.TraceState": [],
+            "Links.Attributes": [],
+        }
+        raw = encode_rows(iter([row]), SPAN_ROW_CH_TYPES)
+        assert decode_rows(raw, SPAN_ROW_CH_TYPES) == [row]
+
+    def test_known_bytes_two_columns(self):
+        schema = [("A", "UInt16"), ("B", "String")]
+        raw = encode_rows(
+            iter([{"A": 1, "B": "x"}, {"A": 258, "B": ""}]), schema
+        )
+        assert raw == b"\x01\x00\x01x" + b"\x02\x01\x00"

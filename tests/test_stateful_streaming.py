@@ -142,3 +142,34 @@ def test_stateful_dedup_fifo_eviction_observable(spark, tmp_path):
     batch2 = [r for r in both.collect() if r.evicted == 1]
     # 1 was evicted (oldest) → re-emitted; 3 is recent → suppressed; 4 new
     assert sorted(r.content_hash for r in batch2) == [1, 4]
+
+
+def test_offset_tracker_out_of_order_fresh_offsets(spark, tmp_path):
+    """ADVICE r3: chunk delivery within a group is not offset-ordered
+    after the shuffle — a never-emitted offset arriving AFTER a higher
+    offset in the same micro-batch must still be emitted (it is fresh,
+    not a re-delivery). 5,1,4,2 in one batch → all four emitted."""
+    src = tmp_path / "src"
+    src.mkdir()
+    cp = tmp_path / "cp"
+    schema = "source_file string, offset long"
+    _write_jsonl(
+        src / "a.json",
+        [{"source_file": "f1", "offset": o} for o in (5, 1, 4, 2)],
+    )
+    out = tmp_path / "out"
+    first = _run_available_now(
+        spark, src, schema, offset_tracker_stream, out, cp
+    )
+    got = sorted(r.offset for r in first.collect())
+    assert got == [1, 2, 4, 5]
+    # next batch: everything ≤5 is committed; only 6 is fresh
+    _write_jsonl(
+        src / "b.json",
+        [{"source_file": "f1", "offset": o} for o in (3, 5, 6)],
+    )
+    both = _run_available_now(
+        spark, src, schema, offset_tracker_stream, out, cp
+    )
+    got = sorted(r.offset for r in both.collect())
+    assert got == [1, 2, 4, 5, 6]

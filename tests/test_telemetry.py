@@ -145,23 +145,61 @@ def test_typed_datapoints_cover_all_five_variants(spark, sf_unit):
         assert r.n_batches == -(-total // 100)  # ceil split rule
 
 
-def test_emf_document_envelope(spark, sf_unit):
-    """transformer.rs:563-580: _aws.CloudWatchMetrics carries
-    Namespace, sorted Dimensions, Metrics directives; labels and the
-    metric stat set are top-level fields."""
+def test_emf_document_envelope_and_per_type_shapes(spark, sf_unit):
+    """transformer.rs:560-618: _aws.CloudWatchMetrics envelope with
+    Namespace, sorted Dimensions, Metrics directives; labels at top
+    level; value shape per metric type — plain number for gauge/sum,
+    {Count,Sum,Min,Max} stat set for the histogram family,
+    name_count/name_sum suffix fields for summary."""
     import json
 
     from rotel_spark.telemetry import emf_documents
 
     events = spark.read.parquet(f"{sf_unit}/events.parquet")
-    row = emf_documents(events).limit(1).collect()[0]
-    doc = json.loads(row.emf_json)
-    cw = doc["_aws"]["CloudWatchMetrics"][0]
-    assert cw["Namespace"] == "rotel/events"
-    assert cw["Dimensions"] == [["event_type", "service"]]
-    m = cw["Metrics"][0]
-    assert m["Unit"] == "Count" and m["StorageResolution"] == 60
-    assert doc["service"] == row.service  # label field
-    stat = doc[m["Name"]]  # dynamic top-level metric key
-    assert set(stat) == {"Count", "Sum", "Min", "Max"}
-    assert doc["_aws"]["Timestamp"] == row.ts_minute_nano // 1_000_000
+    docs = emf_documents(events)
+    by_type = {
+        t: docs.filter(docs.metric_type == t).limit(1).collect()[0]
+        for t in ("gauge", "sum", "histogram", "exponential_histogram",
+                  "summary")
+    }
+    for mtype, row in by_type.items():
+        doc = json.loads(row.emf_json)
+        cw = doc["_aws"]["CloudWatchMetrics"][0]
+        assert cw["Namespace"] == "rotel/events"
+        assert cw["Dimensions"] == [["event_type", "service"]]
+        m = cw["Metrics"][0]
+        assert m["Unit"] == "Count" and m["StorageResolution"] == 60
+        assert m["Name"] == row.metric_name
+        assert doc["service"] == row.service  # label field
+        assert doc["_aws"]["Timestamp"] == row.ts_minute_nano // 1_000_000
+        if mtype in ("gauge", "sum"):
+            # plain JSON number (transformer.rs:582-588)
+            assert isinstance(doc[row.metric_name], float)
+        elif mtype == "summary":
+            # suffix fields; directive keeps the base name
+            # (transformer.rs:606-613)
+            assert row.metric_name not in doc
+            assert isinstance(doc[f"{row.metric_name}_count"], int)
+            assert isinstance(doc[f"{row.metric_name}_sum"], float)
+        else:
+            stat = doc[row.metric_name]
+            assert set(stat) == {"Count", "Sum", "Min", "Max"}
+
+
+def test_emf_document_escapes_hostile_names(spark):
+    """Dynamic keys/values ride through to_json — a metric name or
+    label containing quotes/backslashes must yield a still-valid
+    document (the string-concat assembly this replaces corrupted
+    it silently)."""
+    import json
+
+    events = spark.createDataFrame(
+        [(0, '2024-01-01 00:00:00', 7, 'we"ird\\type', 1.5, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from rotel_spark.telemetry import emf_documents
+
+    for row in emf_documents(events).collect():
+        doc = json.loads(row.emf_json)  # must parse
+        assert doc["event_type"] == 'we"ird\\type'
