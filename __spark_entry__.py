@@ -1506,6 +1506,87 @@ def q_rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_attrs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse JSON attr-column WIRE roundtrip (rowbinary/json.rs:
+    223-280 — discriminated Dynamic values; ser.rs:198-215 path-count
+    framing): nested attrs flatten to typed entries
+    (transformer.rs:50-131), re-typed paths encode to the JSON column
+    bytes, decode back, and per-path type/count/sum facts must equal
+    oracle arithmetic on raw events — typed-lossless at the byte
+    boundary (the Map(String,String) alternative stringifies;
+    this column type keeps Int64/Float64/Bool/String distinct)."""
+    import pandas as pd
+
+    from rotel_spark.functions.anyvalue import flatten_typed_attrs
+    from rotel_spark.sinks.rowbinary import (
+        decode_json_column,
+        encode_json_column,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    nested = F.concat(
+        F.lit('{"http":{"status":'),
+        k.cast("string"),
+        F.lit(
+            ',"ratio":0.25},"tags":["a","b"],"ok":true,"svc":"web",'
+            '"deep":{"l1":{"l2":{"l3":7}}},"skipme":null}'
+        ),
+    )
+    df = flatten_typed_attrs(
+        events.withColumn("_attrs_json", nested),
+        "_attrs_json",
+        max_depth=3,
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for ent in pdf["attr_entries"]:
+                paths = {}
+                for e in ent:
+                    key, vtype, val = e["key"], e["vtype"], e["value"]
+                    if vtype == "int":
+                        paths[key] = int(val)
+                    elif vtype == "double":
+                        paths[key] = float(val)
+                    else:
+                        paths[key] = val
+                out = bytearray()
+                encode_json_column(out, paths)
+                back, off = decode_json_column(bytes(out), 0)
+                assert off == len(out)
+                for kk, vv in back.items():
+                    if isinstance(vv, bool):
+                        vt = "bool"
+                    elif isinstance(vv, int):
+                        vt = "int"
+                    elif isinstance(vv, float):
+                        vt = "double"
+                    else:
+                        vt = "string"
+                    rows.append(
+                        (
+                            kk,
+                            vt,
+                            int(vv) if vt == "int" else 0,
+                            float(vv) if vt == "double" else 0.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["key", "vtype", "iv", "dv"]
+            )
+
+    decoded = df.select("attr_entries").mapInPandas(
+        _roundtrip, "key string, vtype string, iv long, dv double"
+    )
+    return decoded.groupBy("key", "vtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("int_sum"),
+        F.round(F.sum("dv"), 6).alias("dbl_sum_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1567,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_trace_rows": q_clickhouse_trace_rows,
         "clickhouse_metric_rows": q_clickhouse_metric_rows,
         "rowbinary_roundtrip": q_rowbinary_roundtrip,
+        "json_attrs_roundtrip": q_json_attrs_roundtrip,
     }
 
 
@@ -1860,6 +1942,24 @@ SELECT SeverityText AS sev_text,
   COUNT(*) AS n_svc
 FROM rowsrc
 GROUP BY sev_text
+""",
+        # one row per flattened path × type; http.status carries the
+        # per-event int k, http.ratio the constant double — facts are
+        # independent arithmetic, the JSON wire codec must be
+        # type-lossless for them to match
+        "json_attrs_roundtrip": """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+             AS kv FROM events),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(kv) AS BIGINT) AS ks FROM k)
+SELECT 'http.status' AS key, 'int' AS vtype, n, ks AS int_sum,
+       CAST(0.0 AS DOUBLE) AS dbl_sum_r FROM tot
+UNION ALL SELECT 'http.ratio', 'double', n, 0,
+       round(0.25 * n, 6) FROM tot
+UNION ALL SELECT 'tags', 'string', n, 0, 0.0 FROM tot
+UNION ALL SELECT 'ok', 'string', n, 0, 0.0 FROM tot
+UNION ALL SELECT 'svc', 'string', n, 0, 0.0 FROM tot
+UNION ALL SELECT 'deep.l1.l2', 'string', n, 0, 0.0 FROM tot
 """,
         "minhash_dedup": f"""
 WITH {_shingles_cte("documents", "doc_id", "text")},

@@ -30,6 +30,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("config", help="pipeline config JSON file")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--batch",
+        default=None,
+        help="transactional batch id: crash-safe two-phase sink commit"
+        " (staging dir → atomic rename → lineage); re-driving a"
+        " committed batch is an idempotent no-op, re-driving a crashed"
+        " one rolls back its orphans first (requires lineage_path)",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -40,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_spark(app_name="rotel_spark_job", master=args.master)
     try:
-        counts = run_job(spark, config, run_id=args.run_id)
+        counts = run_job(
+            spark, config, run_id=args.run_id,
+            transactional_batch=args.batch,
+        )
         print(json.dumps({"run_id": args.run_id, "sink_counts": counts}))
         return 0
     finally:

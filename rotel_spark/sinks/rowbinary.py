@@ -132,6 +132,9 @@ def encode_value(out: bytearray, chtype: str, v: Any) -> None:
         for item in items:
             encode_value(out, inner, item)
         return
+    if chtype == "JSON":
+        encode_json_column(out, v if v is not None else {})
+        return
     if m := _MAP_RE.match(chtype):
         kt, vt = _split_map_args(m.group(1))
         # Arrow map columns arrive in pandas as sequences of (k, v)
@@ -177,6 +180,8 @@ def decode_value(buf: bytes, off: int, chtype: str) -> tuple[Any, int]:
             item, off = decode_value(buf, off, inner)
             items.append(item)
         return items, off
+    if chtype == "JSON":
+        return decode_json_column(buf, off)
     if m := _MAP_RE.match(chtype):
         kt, vt = _split_map_args(m.group(1))
         n, off = read_leb128(buf, off)
@@ -212,6 +217,125 @@ def decode_rows(
             row[name], off = decode_value(buf, off, chtype)
         rows.append(row)
     return rows
+
+
+# --- ClickHouse JSON column (typed Dynamic paths) --------------------------
+#
+# The reference's attribute columns can be the ClickHouse JSON type
+# instead of Map(String,String) (schema.rs MapOrJson::Json;
+# rowbinary/json.rs:223-280). Wire format per path value = one type
+# discriminator byte then the typed bytes:
+#   Int64  0x0A + i64 LE          (json.rs:229-235)
+#   Float64 0x0E + f64 LE         (json.rs:243-249)
+#   String 0x15 + LEB128 + utf8   (json.rs:236-242)
+#   Bool   0x2D + 1 byte          (json.rs:250-256)
+#   Array  0x1E 0x2B 0x20 + LEB128 count + [disc+bytes...]
+#          (Array(Dynamic(max_types=32)), json.rs:257-270)
+#   Object 0x27 0x15 0x2B 0x20 + LEB128 count +
+#          [LEB128 key + disc + bytes ...]
+#          (Map(String, Dynamic(max_types=32)), json.rs:271-277)
+# A JSON *column* is LEB128 path-count then (LEB128 key ++ dynamic
+# value) per path (ser.rs:198-215 serialize_map writes the number of
+# JSON paths, then each key via serialize_str and each value via the
+# JsonType discriminated encoding).
+
+_J_INT = 0x0A
+_J_DOUBLE = 0x0E
+_J_STR = 0x15
+_J_BOOL = 0x2D
+_J_ARRAY = bytes((0x1E, 0x2B, 0x20))
+_J_MAP = bytes((0x27, 0x15, 0x2B, 0x20))
+
+
+def encode_json_dynamic(out: bytearray, v: Any) -> None:
+    if isinstance(v, bool):  # before int — bool subclasses int
+        out.append(_J_BOOL)
+        out.append(1 if v else 0)
+    elif isinstance(v, int):
+        out.append(_J_INT)
+        out += struct.pack("<q", v)
+    elif isinstance(v, float):
+        out.append(_J_DOUBLE)
+        out += struct.pack("<d", v)
+    elif isinstance(v, str):
+        out.append(_J_STR)
+        raw = v.encode("utf-8")
+        put_leb128(out, len(raw))
+        out += raw
+    elif isinstance(v, (list, tuple)):
+        out += _J_ARRAY
+        put_leb128(out, len(v))
+        for item in v:
+            encode_json_dynamic(out, item)
+    elif isinstance(v, dict):
+        out += _J_MAP
+        put_leb128(out, len(v))
+        for k, val in v.items():
+            raw = str(k).encode("utf-8")
+            put_leb128(out, len(raw))
+            out += raw
+            encode_json_dynamic(out, val)
+    else:
+        raise ValueError(f"cannot encode {type(v)} as JSON dynamic")
+
+
+def decode_json_dynamic(buf: bytes, off: int) -> tuple[Any, int]:
+    disc = buf[off]
+    off += 1
+    if disc == _J_BOOL:
+        return buf[off] != 0, off + 1
+    if disc == _J_INT:
+        return struct.unpack_from("<q", buf, off)[0], off + 8
+    if disc == _J_DOUBLE:
+        return struct.unpack_from("<d", buf, off)[0], off + 8
+    if disc == _J_STR:
+        n, off = read_leb128(buf, off)
+        return buf[off:off + n].decode("utf-8"), off + n
+    if disc == 0x1E:
+        if buf[off:off + 2] != bytes((0x2B, 0x20)):
+            raise ValueError("bad Array(Dynamic) header")
+        off += 2
+        n, off = read_leb128(buf, off)
+        items = []
+        for _ in range(n):
+            item, off = decode_json_dynamic(buf, off)
+            items.append(item)
+        return items, off
+    if disc == 0x27:
+        if buf[off:off + 3] != bytes((0x15, 0x2B, 0x20)):
+            raise ValueError("bad Map(String,Dynamic) header")
+        off += 3
+        n, off = read_leb128(buf, off)
+        d = {}
+        for _ in range(n):
+            kn, off = read_leb128(buf, off)
+            k = buf[off:off + kn].decode("utf-8")
+            off += kn
+            d[k], off = decode_json_dynamic(buf, off)
+        return d, off
+    raise ValueError(f"unknown JSON dynamic discriminator 0x{disc:02x}")
+
+
+def encode_json_column(out: bytearray, paths: dict) -> None:
+    """One JSON column value: LEB128 path count ++ (key, dynamic)."""
+    items = list(paths.items()) if isinstance(paths, dict) else list(paths or [])
+    put_leb128(out, len(items))
+    for k, v in items:
+        raw = str(k).encode("utf-8")
+        put_leb128(out, len(raw))
+        out += raw
+        encode_json_dynamic(out, v)
+
+
+def decode_json_column(buf: bytes, off: int) -> tuple[dict, int]:
+    n, off = read_leb128(buf, off)
+    d = {}
+    for _ in range(n):
+        kn, off = read_leb128(buf, off)
+        k = buf[off:off + kn].decode("utf-8")
+        off += kn
+        d[k], off = decode_json_dynamic(buf, off)
+    return d, off
 
 
 # --- table schemas (CH types per the reference's row structs) --------------
@@ -296,3 +420,54 @@ def rows_to_rowbinary(
             )
 
     return df.mapInPandas(_encode, "payload binary, n_rows long")
+
+
+# --- INSERT statement assembly (request_mapper.rs) -------------------------
+
+# RequestType → (table suffix, column-key list) — request_mapper.rs:
+# 45-98 wires each type to its table name and get_*_col_keys() string
+_REQUEST_TABLES: dict[str, str] = {
+    "traces": "traces",
+    "logs": "logs",
+    "metrics_sum": "metrics_sum",
+    "metrics_gauge": "metrics_gauge",
+    "metrics_histogram": "metrics_histogram",
+    "metrics_exponential_histogram": "metrics_exponential_histogram",
+    "metrics_summary": "metrics_summary",
+}
+
+
+def insert_sql(
+    request_type: str,
+    table_prefix: str = "otel",
+    with_event_name: bool = False,
+) -> str:
+    """The INSERT statement the exporter sends ahead of each RowBinary
+    payload (request_mapper.rs:127-133: `INSERT INTO {prefix}_{table}
+    ({cols}) FORMAT RowBinary`). Column lists come from the schema
+    module's get_*_col_keys mirrors — including the reference's
+    summary-key typo, which names the real DB column."""
+    from rotel_spark.schema import (
+        METRIC_ROW_COLUMNS,
+        SPAN_ROW_COLUMNS,
+        log_record_columns,
+    )
+
+    if request_type == "traces":
+        cols = SPAN_ROW_COLUMNS
+    elif request_type == "logs":
+        cols = log_record_columns(with_event_name)
+    elif request_type.startswith("metrics_"):
+        key = request_type[len("metrics_"):]
+        key = {
+            "sum": "sum",
+            "gauge": "gauge",
+            "histogram": "histogram",
+            "exponential_histogram": "exponential_histogram",
+            "summary": "summary",
+        }[key]
+        cols = METRIC_ROW_COLUMNS[key]
+    else:
+        raise ValueError(f"unknown request type: {request_type}")
+    table = f"{table_prefix}_{_REQUEST_TABLES[request_type]}"
+    return f"INSERT INTO {table} ({','.join(cols)}) FORMAT RowBinary"

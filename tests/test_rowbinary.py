@@ -169,3 +169,114 @@ class TestRows:
             iter([{"A": 1, "B": "x"}, {"A": 258, "B": ""}]), schema
         )
         assert raw == b"\x01\x00\x01x" + b"\x02\x01\x00"
+
+
+class TestInsertSql:
+    def test_logs_insert(self):
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        q = insert_sql("logs")
+        assert q.startswith("INSERT INTO otel_logs (Timestamp,TraceId,")
+        assert q.endswith("LogAttributes) FORMAT RowBinary")
+        assert "EventName" not in q
+        assert "EventName" in insert_sql("logs", with_event_name=True)
+
+    def test_traces_insert_full_column_list(self):
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        # get_span_row_col_keys verbatim (schema.rs:56-83)
+        q = insert_sql("traces", table_prefix="my")
+        cols = q.split("(", 1)[1].rsplit(")", 1)[0]
+        assert cols == (
+            "Timestamp,TraceId,SpanId,ParentSpanId,TraceState,SpanName,"
+            "SpanKind,ServiceName,ResourceAttributes,ScopeName,"
+            "ScopeVersion,SpanAttributes,Duration,StatusCode,"
+            "StatusMessage,Events.Timestamp,Events.Name,"
+            "Events.Attributes,Links.TraceId,Links.SpanId,"
+            "Links.TraceState,Links.Attributes"
+        )
+        assert q.startswith("INSERT INTO my_traces (")
+
+    def test_summary_insert_reproduces_upstream_typo(self):
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        # schema.rs:396 spells the column "ValueAtQauntiles.Value" in
+        # the INSERT key list — that typo names the real DB column
+        q = insert_sql("metrics_summary")
+        assert "ValueAtQuantiles.Quantile,ValueAtQauntiles.Value" in q
+        assert q.startswith("INSERT INTO otel_metrics_summary (")
+
+    def test_all_metric_types(self):
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        for t in ("metrics_sum", "metrics_gauge", "metrics_histogram",
+                  "metrics_exponential_histogram"):
+            q = insert_sql(t)
+            assert q.startswith(f"INSERT INTO otel_{t} (")
+            assert q.endswith("Exemplars.TraceId) FORMAT RowBinary")
+
+
+class TestJsonColumn:
+    """ClickHouse JSON type wire vectors (rowbinary/json.rs:223-280)."""
+
+    def test_scalar_discriminators(self):
+        from rotel_spark.sinks.rowbinary import encode_json_dynamic
+
+        def e(v):
+            out = bytearray()
+            encode_json_dynamic(out, v)
+            return bytes(out)
+
+        assert e(5) == b"\x0a" + (5).to_bytes(8, "little", signed=True)
+        assert e(-1) == b"\x0a" + b"\xff" * 8
+        assert e(2.5) == b"\x0e" + struct.pack("<d", 2.5)
+        assert e("ab") == b"\x15\x02ab"
+        assert e(True) == b"\x2d\x01"
+        assert e(False) == b"\x2d\x00"
+
+    def test_array_dynamic_header(self):
+        from rotel_spark.sinks.rowbinary import encode_json_dynamic
+
+        out = bytearray()
+        encode_json_dynamic(out, [1, "x"])
+        # 0x1E Array | 0x2B Dynamic | 0x20 max_types | count | elements
+        assert bytes(out[:4]) == b"\x1e\x2b\x20\x02"
+
+    def test_object_map_header(self):
+        from rotel_spark.sinks.rowbinary import encode_json_dynamic
+
+        out = bytearray()
+        encode_json_dynamic(out, {"k": 1})
+        # 0x27 Map | 0x15 String key | 0x2B 0x20 Dynamic value | count
+        assert bytes(out[:5]) == b"\x27\x15\x2b\x20\x01"
+
+    def test_column_roundtrip(self):
+        from rotel_spark.sinks.rowbinary import (
+            decode_json_column,
+            encode_json_column,
+        )
+
+        paths = {
+            "http.status": 500,
+            "http.ratio": 0.25,
+            "svc": "web",
+            "ok": True,
+            "tags": ["a", 1, 2.0, False],
+            "deep": {"l2": {"l3": 7}},
+        }
+        out = bytearray()
+        encode_json_column(out, paths)
+        back, off = decode_json_column(bytes(out), 0)
+        assert off == len(out)
+        assert back == paths
+
+    def test_json_typed_row_schema(self):
+        from rotel_spark.sinks.rowbinary import decode_rows, encode_rows
+
+        schema = [("Body", "String"), ("LogAttributes", "JSON")]
+        rows = [
+            {"Body": "x", "LogAttributes": {"a": 1, "b": "two"}},
+            {"Body": "y", "LogAttributes": {}},
+        ]
+        raw = encode_rows(iter(rows), schema)
+        assert decode_rows(raw, schema) == rows
