@@ -1,0 +1,203 @@
+"""AWS API plumbing for the EMF / X-Ray exporters — SigV4 signing,
+ARN parsing, hostname→service mapping. No network; pure request
+shaping, mirroring /root/reference/src/aws_api (the public AWS
+Signature Version 4 spec — hashlib/hmac only).
+
+Validated against the reference's own deterministic full-
+authorization-header vector (auth.rs:396-431, which itself uses the
+AWS documentation example credentials).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from urllib.parse import urlsplit
+
+
+@dataclass
+class AwsCreds:
+    """creds.rs — static credential triple."""
+
+    access_key_id: str
+    secret_access_key: str
+    session_token: str | None = None
+
+
+def _hmac256(key: bytes, message: bytes) -> bytes:
+    return hmac.new(key, message, hashlib.sha256).digest()
+
+
+def sign_request(
+    service: str,
+    region: str,
+    url: str,
+    method: str,
+    headers: dict[str, str],
+    payload: bytes,
+    creds: AwsCreds,
+    now: datetime | None = None,
+) -> dict[str, str]:
+    """SigV4 signing (auth.rs:47-205): returns the final header map
+    (input headers + Host if absent + X-Amz-Security-Token +
+    X-Amz-Date + Authorization).
+
+    Canonicalization follows auth.rs exactly: sorted query pairs kept
+    verbatim (no re-encoding), lowercase sorted headers with trimmed
+    values, SHA-256 payload hash, AWS4-HMAC-SHA256 scope
+    {date}/{region}/{service}/aws4_request."""
+    now = now or datetime.now(timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+
+    parts = urlsplit(url)
+    out = dict(headers)
+
+    lower = {k.lower() for k in out}
+    if "host" not in lower:
+        out["Host"] = parts.netloc  # host[:port] (auth.rs:62-76)
+    if creds.session_token:
+        out["X-Amz-Security-Token"] = creds.session_token
+    out["X-Amz-Date"] = amz_date
+
+    canonical_uri = parts.path or "/"
+    if parts.query:
+        pairs = []
+        for kv in parts.query.split("&"):
+            k, _, v = kv.partition("=")
+            pairs.append((k, v))
+        pairs.sort()
+        canonical_query = "&".join(f"{k}={v}" for k, v in pairs)
+    else:
+        canonical_query = ""
+
+    hdrs = sorted(
+        (k.lower(), v.strip()) for k, v in out.items()
+    )
+    canonical_headers = "".join(f"{k}:{v}\n" for k, v in hdrs)
+    signed_headers = ";".join(k for k, _ in hdrs)
+    payload_hash = hashlib.sha256(payload).hexdigest()
+
+    canonical_request = "\n".join(
+        (
+            method,
+            canonical_uri,
+            canonical_query,
+            canonical_headers,
+            signed_headers,
+            payload_hash,
+        )
+    )
+
+    algorithm = "AWS4-HMAC-SHA256"
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        (
+            algorithm,
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        )
+    )
+
+    # key derivation chain (auth.rs:207-224)
+    k_date = _hmac256(
+        f"AWS4{creds.secret_access_key}".encode(), date_stamp.encode()
+    )
+    k_region = _hmac256(k_date, region.encode())
+    k_service = _hmac256(k_region, service.encode())
+    k_signing = _hmac256(k_service, b"aws4_request")
+    signature = hmac.new(
+        k_signing, string_to_sign.encode(), hashlib.sha256
+    ).hexdigest()
+
+    out["Authorization"] = (
+        f"{algorithm} Credential={creds.access_key_id}/{scope}, "
+        f"SignedHeaders={signed_headers}, Signature={signature}"
+    )
+    return out
+
+
+# --- ARN parsing (arn.rs) --------------------------------------------------
+
+
+class ArnParseError(ValueError):
+    pass
+
+
+@dataclass
+class AwsArn:
+    """arn.rs:5-14 — arn:partition:service:region:account[:type]:id
+    with an optional '#field' suffix on the resource id."""
+
+    partition: str
+    service: str
+    region: str
+    account_id: str
+    resource_type: str
+    resource_id: str
+    resource_field: str
+
+    @classmethod
+    def parse(cls, s: str) -> "AwsArn":
+        """arn.rs:19-68 — 6 or 7 colon segments, none empty."""
+        parts = s.split(":", 8)
+        if len(parts) < 6 or len(parts) >= 8:
+            raise ArnParseError(s)
+        if any(p == "" for p in parts):
+            raise ArnParseError(s)
+        resource = parts.pop()
+        rid, sep, rfield = resource.partition("#")
+        if sep and (not rid or not rfield):
+            raise ArnParseError(s)
+        resource_type = parts.pop() if len(parts) == 6 else ""
+        account_id = parts.pop()
+        region = parts.pop()
+        service = parts.pop()
+        partition = parts.pop()
+        if parts.pop() != "arn":
+            raise ArnParseError(s)
+        return cls(
+            partition, service, region, account_id,
+            resource_type, rid, rfield,
+        )
+
+    def __str__(self) -> str:
+        # arn.rs:72-91
+        parts = ["arn", self.partition, self.service, self.region,
+                 self.account_id]
+        if self.resource_type:
+            parts.append(self.resource_type)
+        rid = (
+            f"{self.resource_id}#{self.resource_field}"
+            if self.resource_field
+            else self.resource_id
+        )
+        parts.append(rid)
+        return ":".join(parts)
+
+    def get_endpoint(self) -> str:
+        """arn.rs:111-121 — cn- regions use the .cn domain."""
+        domain = (
+            "amazonaws.com.cn"
+            if self.region.startswith("cn-")
+            else "amazonaws.com"
+        )
+        return f"https://{self.service}.{self.region}.{domain}/"
+
+
+# --- hostname → (service, region) (host.rs) --------------------------------
+
+_HOST_RE = re.compile(
+    r"^([a-zA-Z0-9-]+)\.([a-zA-Z0-9-]+)\.amazonaws\.com$"
+)
+
+
+def parse_aws_hostname(hostname: str) -> tuple[str, str] | None:
+    """host.rs:9-17 — service.region.amazonaws.com → (service,
+    region); anything else None."""
+    m = _HOST_RE.match(hostname)
+    return (m.group(1), m.group(2)) if m else None

@@ -1,0 +1,136 @@
+"""ClickHouse HTTP request assembly + capability probing — no network.
+
+Builds the exact requests the reference's exporter sends and parses
+the responses it consumes; the transport itself is out of scope in
+this sandbox (no ClickHouse server), so everything here is pure
+request/response shaping with unit-test vectors:
+
+  * INSERT request — api_request.rs:24-63: POST to the endpoint with
+    query params `database`, `query` (the INSERT ... FORMAT RowBinary
+    statement), plus `decompress=1` under lz4 compression,
+    `async_insert=1` when enabled (mod.rs:137-140), and
+    `allow_experimental_json_type=1` when the JSON attr columns are
+    in use; auth rides the `x-clickhouse-user` / `x-clickhouse-key`
+    headers (api_request.rs:45-58).
+  * endpoint normalization — api_request.rs:77-84 (and
+    describe_table.rs:71-76): bare host:port gets an http:// scheme;
+    trailing slashes trimmed.
+  * DESCRIBE probe — describe_table.rs:37-151: `DESCRIBE TABLE
+    {db}.{prefix}_logs` over the same interface; the TabSeparated
+    response's first field per line is a column name; any error
+    degrades to an EMPTY capability set so the exporter falls back
+    to the minimal baseline schema (e.g. omits EventName).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlencode
+
+
+def normalize_endpoint(endpoint: str) -> str:
+    """api_request.rs:77-84 / describe_table.rs:71-76."""
+    e = endpoint.rstrip("/")
+    if e.startswith(("http://", "https://")):
+        return e
+    return f"http://{e}"
+
+
+def _auth_headers(
+    user: str | None, password: str | None
+) -> dict[str, str]:
+    headers = {}
+    if user is not None:
+        headers["x-clickhouse-user"] = user
+    if password is not None:
+        headers["x-clickhouse-key"] = password
+    return headers
+
+
+def insert_request(
+    request_type: str,
+    endpoint: str,
+    database: str = "default",
+    table_prefix: str = "otel",
+    user: str | None = None,
+    password: str | None = None,
+    compression: str = "lz4",
+    async_insert: bool = False,
+    use_json: bool = False,
+    with_event_name: bool = False,
+) -> dict:
+    """The POST request carrying one RowBinary payload
+    (api_request.rs:24-63 query-pair assembly, in its append order)."""
+    from rotel_spark.sinks.rowbinary import insert_sql
+
+    params = [
+        ("database", database),
+        ("query", insert_sql(
+            request_type, table_prefix=table_prefix,
+            with_event_name=with_event_name,
+        )),
+    ]
+    if compression == "lz4":
+        params.append(("decompress", "1"))
+    if async_insert:
+        params.append(("async_insert", "1"))
+    if use_json:
+        params.append(("allow_experimental_json_type", "1"))
+    return {
+        "method": "POST",
+        "url": f"{normalize_endpoint(endpoint)}/?{urlencode(params)}",
+        "headers": _auth_headers(user, password),
+    }
+
+
+def describe_request(
+    endpoint: str,
+    database: str = "default",
+    table_prefix: str = "otel",
+    user: str | None = None,
+    password: str | None = None,
+) -> dict:
+    """The capability-probe request (describe_table.rs:64-116)."""
+    table = f"{database}.{table_prefix}_logs"
+    params = [
+        ("database", database),
+        ("query", f"DESCRIBE TABLE {table}"),
+    ]
+    return {
+        "method": "GET",
+        "url": f"{normalize_endpoint(endpoint)}/?{urlencode(params)}",
+        "headers": _auth_headers(user, password),
+    }
+
+
+@dataclass
+class TableCapabilities:
+    """describe_table.rs:17-26."""
+
+    columns: set[str] = field(default_factory=set)
+
+    def has_column(self, col: str) -> bool:
+        return col in self.columns
+
+
+def parse_describe_output(body: str) -> TableCapabilities:
+    """TabSeparated DESCRIBE output → column set
+    (describe_table.rs:136-148: first tab field per line)."""
+    columns = set()
+    for line in body.splitlines():
+        col = line.split("\t", 1)[0].strip()
+        if col:
+            columns.add(col)
+    return TableCapabilities(columns)
+
+
+def probe_capabilities(body: str | None) -> TableCapabilities:
+    """Degraded-probe semantics (describe_table.rs:44-56): any failure
+    (None body here stands in for connection/HTTP errors) yields an
+    empty set → the exporter writes only the baseline columns."""
+    if body is None:
+        return TableCapabilities()
+    try:
+        return parse_describe_output(body)
+    except Exception:
+        return TableCapabilities()

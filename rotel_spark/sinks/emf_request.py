@@ -1,0 +1,146 @@
+"""CloudWatch PutLogEvents request assembly for the EMF exporter.
+
+Mirrors /root/reference/src/exporters/awsemf (request side; the
+document emit lives in telemetry.emf_documents):
+
+  * batching — event.rs:9-13,44-67: ≤10,000 events per batch, ≤1 MiB
+    total (each event costs len(message)+26 header bytes), a batch
+    may not span more than 24h of timestamps; an oversize single
+    event is TRUNCATED to fit rather than dropped (event.rs:71-85).
+  * ordering — emf_request.rs:74-77: CloudWatch requires ascending
+    timestamp order, so events sort before batching.
+  * request — emf_request.rs:41-52,93-110: POST with X-Amz-Target:
+    Logs_20140328.PutLogEvents, content-type application/x-amz-json-
+    1.1, gzip Content-Encoding; body = {"logGroupName",
+    "logStreamName", "logEvents":[{"timestamp","message"}...]}
+    gzipped. SigV4 signing rides sinks/aws_auth.py (the reference
+    signs through aws_api/auth.rs).
+
+Everything is pure request shaping — no network in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from dataclasses import dataclass
+
+PER_EVENT_HEADER_BYTES = 26
+MAX_BATCH_EVENTS = 10_000
+MAX_BATCH_SIZE = 1024 * 1024
+MAX_BATCH_TIMERANGE_MS = 24 * 3600 * 1000
+
+
+@dataclass
+class Event:
+    timestamp_ms: int
+    message: str
+
+    def size(self) -> int:
+        return len(self.message) + PER_EVENT_HEADER_BYTES
+
+
+def batch_events(events: list[Event]) -> list[list[Event]]:
+    """emf_request.rs:74-90 + event.rs:44-99: sort by timestamp, then
+    greedy batches under the count/bytes/timerange limits; oversize
+    single events truncate."""
+    events = sorted(events, key=lambda e: e.timestamp_ms)
+    batches: list[list[Event]] = []
+    cur: list[Event] = []
+    cur_bytes = 0
+    cur_min = cur_max = 0
+
+    def flush():
+        nonlocal cur, cur_bytes, cur_min, cur_max
+        batches.append(cur)
+        cur, cur_bytes, cur_min, cur_max = [], 0, 0, 0
+
+    for evt in events:
+        sz = evt.size()
+        if sz >= MAX_BATCH_SIZE:
+            # truncate, not drop (event.rs:74-85)
+            evt = Event(
+                evt.timestamp_ms,
+                evt.message[:MAX_BATCH_SIZE - PER_EVENT_HEADER_BYTES],
+            )
+            sz = evt.size()
+        out_of_range = cur_min != 0 and cur_max != 0 and (
+            evt.timestamp_ms - cur_min > MAX_BATCH_TIMERANGE_MS
+            or cur_max - evt.timestamp_ms > MAX_BATCH_TIMERANGE_MS
+        )
+        full = (
+            len(cur) >= MAX_BATCH_EVENTS
+            or cur_bytes + sz > MAX_BATCH_SIZE
+        )
+        if cur and (out_of_range or full):
+            flush()
+        cur.append(evt)
+        cur_bytes += sz
+        if cur_min == 0 or evt.timestamp_ms < cur_min:
+            cur_min = evt.timestamp_ms
+        if evt.timestamp_ms > cur_max:
+            cur_max = evt.timestamp_ms
+    if cur or not batches:
+        batches.append(cur)
+    return batches
+
+
+def put_log_events_body(
+    batch: list[Event], log_group: str, log_stream: str
+) -> bytes:
+    """The uncompressed PutLogEvents JSON (emf_request.rs:93-99)."""
+    return json.dumps(
+        {
+            "logGroupName": log_group,
+            "logStreamName": log_stream,
+            "logEvents": [
+                {"timestamp": e.timestamp_ms, "message": e.message}
+                for e in batch
+            ],
+        },
+        separators=(",", ":"),
+    ).encode()
+
+
+def build_requests(
+    events: list[Event],
+    endpoint: str,
+    log_group: str,
+    log_stream: str,
+    region: str | None = None,
+    creds=None,
+    now=None,
+) -> list[dict]:
+    """One request dict per batch: gzip body + the PutLogEvents
+    headers (emf_request.rs:41-52,101-110); signed with SigV4 when
+    credentials are provided."""
+    reqs = []
+    for batch in batch_events(events):
+        if not batch:
+            continue
+        raw = put_log_events_body(batch, log_group, log_stream)
+        co = zlib.compressobj(wbits=31)
+        body = co.compress(raw) + co.flush()
+        headers = {
+            "Content-Encoding": "gzip",
+            "X-Amz-Target": "Logs_20140328.PutLogEvents",
+            "Content-Type": "application/x-amz-json-1.1",
+        }
+        url = endpoint.rstrip("/") + "/"
+        if creds is not None and region is not None:
+            from rotel_spark.sinks.aws_auth import sign_request
+
+            headers = sign_request(
+                "logs", region, url, "POST", headers, body, creds,
+                now=now,
+            )
+        reqs.append(
+            {
+                "method": "POST",
+                "url": url,
+                "headers": headers,
+                "body": body,
+                "n_events": len(batch),
+            }
+        )
+    return reqs

@@ -1,0 +1,142 @@
+"""OTLP exporter request shaping + gRPC/HTTP body framing.
+
+Pairs with sinks/otlp_proto.py (which produces the protobuf message
+bytes): this module wraps those bytes the way the reference's
+exporter puts them on the wire (/root/reference/src/exporters/otlp):
+
+  * endpoint/path resolution — request.rs:318-357: bare endpoints get
+    an http:// scheme; gRPC joins the absolute per-signal service
+    path (overwriting any path); HTTP base endpoints join the
+    relative v1/{logs,traces,metrics} path (a non-Full override keeps
+    a user-supplied path prefix), full overrides pass through.
+  * headers — request.rs:150-199: gRPC = application/grpc +
+    grpc-accept-encoding + Te: trailers (+ grpc-encoding: gzip when
+    compressing); HTTP = application/x-protobuf (+ Content-Encoding:
+    gzip); both send Accept-Encoding: gzip, then custom headers, then
+    optional Basic auth.
+  * gRPC message framing — grpc_codec.rs:93-139 encode /
+    :20-90 decode: 1-byte compressed flag ++ u32 BE length ++ payload
+    (gzip body when flagged); zero-length means an empty message;
+    responses over 1 MiB are refused.
+  * HTTP body — http_codec.rs: plain or gzip protobuf bytes.
+
+gzip here is stdlib zlib with the gzip container (wbits=31) — the
+same RFC 1952 stream flate2 produces.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+from urllib.parse import urlsplit, urlunsplit
+
+GRPC_HEADER_SIZE = 5
+GRPC_MAX_RESPONSE_SIZE = 1024 * 1024  # grpc_codec.rs:17
+
+GRPC_SERVICE_PATHS = {
+    # request.rs:35-41
+    "traces": "/opentelemetry.proto.collector.trace.v1.TraceService/Export",
+    "metrics":
+        "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export",
+    "logs": "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+}
+
+HTTP_RELATIVE_PATHS = {
+    # request.rs:44-49
+    "traces": "v1/traces",
+    "metrics": "v1/metrics",
+    "logs": "v1/logs",
+}
+
+
+def _gzip(data: bytes) -> bytes:
+    co = zlib.compressobj(wbits=31)
+    return co.compress(data) + co.flush()
+
+
+def _gunzip(data: bytes) -> bytes:
+    return zlib.decompress(data, wbits=31)
+
+
+def endpoint_build(
+    endpoint: str,
+    protocol: str,
+    telemetry_type: str,
+    endpoint_is_full: bool = False,
+) -> str:
+    """request.rs:318-357."""
+    if "://" not in endpoint:
+        endpoint = f"http://{endpoint}"  # request.rs:331-334
+    parts = urlsplit(endpoint)
+    if protocol == "grpc":
+        # absolute service path overwrites any existing path
+        return urlunsplit(
+            (parts.scheme, parts.netloc,
+             GRPC_SERVICE_PATHS[telemetry_type], "", "")
+        )
+    if endpoint_is_full:
+        return endpoint  # request.rs:352: fully formed override
+    path = parts.path if parts.path.endswith("/") else parts.path + "/"
+    return urlunsplit(
+        (parts.scheme, parts.netloc,
+         path + HTTP_RELATIVE_PATHS[telemetry_type], "", "")
+    )
+
+
+def build_headers(
+    protocol: str,
+    compress: bool = True,
+    custom_headers: dict[str, str] | None = None,
+    basic_auth: tuple[str, str] | None = None,
+) -> dict[str, str]:
+    """request.rs:150-199 header assembly, in order."""
+    headers: dict[str, str] = {}
+    if protocol == "grpc":
+        headers["Content-Type"] = "application/grpc"
+        headers["grpc-accept-encoding"] = "gzip,identity"
+        headers["Te"] = "trailers"
+        if compress:
+            headers["grpc-encoding"] = "gzip"
+    else:
+        headers["Content-Type"] = "application/x-protobuf"
+        if compress:
+            headers["Content-Encoding"] = "gzip"
+    headers["Accept-Encoding"] = "gzip"
+    for k, v in (custom_headers or {}).items():
+        headers[k] = v
+    if basic_auth is not None:
+        user, password = basic_auth
+        token = base64.b64encode(f"{user}:{password}".encode()).decode()
+        headers["Authorization"] = f"Basic {token}"
+    return headers
+
+
+def grpc_encode_body(message: bytes, compress: bool = False) -> bytes:
+    """grpc_codec.rs:93-139: flag ++ u32 BE length ++ payload."""
+    payload = _gzip(message) if compress else message
+    return struct.pack(">BI", 1 if compress else 0, len(payload)) + payload
+
+
+def grpc_decode_body(body: bytes) -> bytes:
+    """grpc_codec.rs:20-90 — returns the protobuf message bytes."""
+    if len(body) < GRPC_HEADER_SIZE:
+        raise ValueError(f"invalid response size: {len(body)}")
+    is_gz, length = struct.unpack_from(">BI", body, 0)
+    if length == 0:
+        return b""  # empty message (grpc_codec.rs:34-36)
+    if length > GRPC_MAX_RESPONSE_SIZE:
+        raise ValueError("message too large")
+    payload = body[GRPC_HEADER_SIZE:GRPC_HEADER_SIZE + length]
+    if len(payload) < length:
+        raise ValueError("truncated gRPC frame")
+    return _gunzip(payload) if is_gz else payload
+
+
+def http_encode_body(message: bytes, compress: bool = False) -> bytes:
+    """http_codec.rs encode side: plain or gzip protobuf bytes."""
+    return _gzip(message) if compress else message
+
+
+def http_decode_body(body: bytes, compressed: bool = False) -> bytes:
+    return _gunzip(body) if compressed else body

@@ -1,0 +1,106 @@
+"""ClickHouse HTTP request-shaping vectors (api_request.rs /
+describe_table.rs)."""
+
+from urllib.parse import parse_qsl, urlsplit
+
+from rotel_spark.sinks.ch_http import (
+    describe_request,
+    insert_request,
+    normalize_endpoint,
+    parse_describe_output,
+    probe_capabilities,
+)
+
+
+def qp(url: str) -> dict:
+    return dict(parse_qsl(urlsplit(url).query))
+
+
+class TestEndpoint:
+    def test_normalize(self):
+        # api_request.rs:77-84
+        assert normalize_endpoint("host:8123") == "http://host:8123"
+        assert normalize_endpoint("http://h:8123/") == "http://h:8123"
+        assert (
+            normalize_endpoint("https://h.example/")
+            == "https://h.example"
+        )
+
+
+class TestInsertRequest:
+    def test_query_pairs(self):
+        # api_request.rs:32-42 pair set
+        r = insert_request(
+            "logs", "ch:8123", database="telemetry",
+            compression="lz4", async_insert=True, use_json=True,
+        )
+        assert r["method"] == "POST"
+        p = qp(r["url"])
+        assert p["database"] == "telemetry"
+        assert p["query"].startswith("INSERT INTO otel_logs (")
+        assert p["query"].endswith("FORMAT RowBinary")
+        assert p["decompress"] == "1"
+        assert p["async_insert"] == "1"
+        assert p["allow_experimental_json_type"] == "1"
+
+    def test_no_optional_pairs(self):
+        r = insert_request("traces", "ch:8123", compression="none")
+        p = qp(r["url"])
+        assert "decompress" not in p
+        assert "async_insert" not in p
+        assert "allow_experimental_json_type" not in p
+
+    def test_auth_headers(self):
+        # api_request.rs:45-58
+        r = insert_request(
+            "logs", "ch:8123", user="u1", password="s3cret"
+        )
+        assert r["headers"] == {
+            "x-clickhouse-user": "u1", "x-clickhouse-key": "s3cret",
+        }
+        assert insert_request("logs", "ch:8123")["headers"] == {}
+
+
+class TestDescribe:
+    def test_probe_request(self):
+        # describe_table.rs:44,75-85: db-qualified logs table
+        r = describe_request("ch:8123", database="db1",
+                             table_prefix="my")
+        assert r["method"] == "GET"
+        p = qp(r["url"])
+        assert p["query"] == "DESCRIBE TABLE db1.my_logs"
+        assert p["database"] == "db1"
+
+    def test_parse_tabseparated(self):
+        # describe_table.rs:136-148: first tab field per line
+        body = (
+            "Timestamp\tDateTime64(9)\t\t\t\t\t\n"
+            "Body\tString\t\t\t\t\t\n"
+            "EventName\tString\t\t\t\t\t\n"
+            "\n"
+        )
+        caps = parse_describe_output(body)
+        assert caps.has_column("EventName")
+        assert caps.has_column("Timestamp")
+        assert not caps.has_column("Missing")
+
+    def test_probe_failure_degrades_to_baseline(self):
+        # describe_table.rs:44-56 + request_mapper.rs:40-42: no
+        # EventName capability → the logs INSERT omits the column
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        caps = probe_capabilities(None)
+        assert caps.columns == set()
+        q = insert_sql(
+            "logs", with_event_name=caps.has_column("EventName")
+        )
+        assert "EventName" not in q
+
+    def test_probe_success_extends_insert(self):
+        from rotel_spark.sinks.rowbinary import insert_sql
+
+        caps = probe_capabilities("EventName\tString\n")
+        q = insert_sql(
+            "logs", with_event_name=caps.has_column("EventName")
+        )
+        assert q.endswith("EventName) FORMAT RowBinary")

@@ -1,0 +1,122 @@
+"""OTLP request shaping + gRPC framing vectors (exporters/otlp)."""
+
+import pytest
+
+from rotel_spark.sinks.otlp_request import (
+    build_headers,
+    endpoint_build,
+    grpc_decode_body,
+    grpc_encode_body,
+    http_decode_body,
+    http_encode_body,
+)
+
+
+class TestEndpoint:
+    def test_grpc_absolute_path_overwrites(self):
+        # request.rs:336-338
+        assert endpoint_build(
+            "http://collector:4317/some/prefix", "grpc", "logs"
+        ) == (
+            "http://collector:4317/opentelemetry.proto.collector."
+            "logs.v1.LogsService/Export"
+        )
+
+    def test_http_base_joins_relative(self):
+        # request.rs:340-351: base keeps the prefix, joins v1/<type>
+        assert endpoint_build(
+            "https://host:4318", "http", "traces"
+        ) == "https://host:4318/v1/traces"
+        assert endpoint_build(
+            "https://host:4318/prefix", "http", "metrics"
+        ) == "https://host:4318/prefix/v1/metrics"
+
+    def test_http_full_passthrough(self):
+        # request.rs:352
+        assert endpoint_build(
+            "https://h/custom/ingest", "http", "logs",
+            endpoint_is_full=True,
+        ) == "https://h/custom/ingest"
+
+    def test_bare_endpoint_gets_scheme(self):
+        # request.rs:331-334
+        assert endpoint_build("collector:4318", "http", "logs") == (
+            "http://collector:4318/v1/logs"
+        )
+
+
+class TestHeaders:
+    def test_grpc_headers(self):
+        # request.rs:154-163
+        h = build_headers("grpc", compress=True)
+        assert h["Content-Type"] == "application/grpc"
+        assert h["grpc-accept-encoding"] == "gzip,identity"
+        assert h["Te"] == "trailers"
+        assert h["grpc-encoding"] == "gzip"
+        assert h["Accept-Encoding"] == "gzip"
+        assert "grpc-encoding" not in build_headers("grpc", compress=False)
+
+    def test_http_headers(self):
+        # request.rs:165-173
+        h = build_headers("http", compress=True)
+        assert h["Content-Type"] == "application/x-protobuf"
+        assert h["Content-Encoding"] == "gzip"
+        assert "Content-Encoding" not in build_headers(
+            "http", compress=False
+        )
+
+    def test_custom_and_basic_auth(self):
+        # request.rs:180-199
+        h = build_headers(
+            "http", custom_headers={"x-api-key": "k1"},
+            basic_auth=("u", "p"),
+        )
+        assert h["x-api-key"] == "k1"
+        assert h["Authorization"] == "Basic dTpw"  # base64("u:p")
+
+
+class TestGrpcFraming:
+    def test_uncompressed_frame(self):
+        # grpc_codec.rs:93-139: flag 0 ++ u32 BE len ++ payload
+        frame = grpc_encode_body(b"hello")
+        assert frame == b"\x00\x00\x00\x00\x05hello"
+        assert grpc_decode_body(frame) == b"hello"
+
+    def test_gzip_frame_roundtrip(self):
+        msg = b"payload " * 100
+        frame = grpc_encode_body(msg, compress=True)
+        assert frame[0] == 1
+        assert len(frame) < len(msg)
+        assert grpc_decode_body(frame) == msg
+
+    def test_empty_message(self):
+        # grpc_codec.rs:34-36: zero length → default message
+        assert grpc_decode_body(b"\x00\x00\x00\x00\x00") == b""
+
+    def test_short_frame_rejected(self):
+        # grpc_codec.rs:25-31
+        with pytest.raises(ValueError, match="invalid response size"):
+            grpc_decode_body(b"\x00\x00")
+
+    def test_oversize_rejected(self):
+        # grpc_codec.rs:38-43: >1 MiB refused
+        header = b"\x00" + (2 * 1024 * 1024).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="too large"):
+            grpc_decode_body(header + b"x")
+
+    def test_proto_request_through_grpc_frame(self):
+        # full integration: ExportLogsServiceRequest bytes framed and
+        # recovered losslessly
+        from rotel_spark.sinks.otlp_proto import _len_field, _str_field
+
+        msg = _len_field(1, _str_field(3, "svc"))
+        assert grpc_decode_body(grpc_encode_body(msg, True)) == msg
+
+
+class TestHttpBody:
+    def test_roundtrip(self):
+        msg = b"\x0a\x03abc" * 50
+        assert http_decode_body(http_encode_body(msg, False), False) == msg
+        gz = http_encode_body(msg, True)
+        assert gz[:2] == b"\x1f\x8b"  # RFC 1952 magic
+        assert http_decode_body(gz, True) == msg
