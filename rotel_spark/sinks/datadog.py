@@ -533,3 +533,53 @@ def dd_span_inference(
         .withColumn("dd_source_kind", src["kind"])
         .withColumn("dd_source_id", src["identifier"])
     )
+
+
+# --- request shaping (datadog/api_request.rs, mod.rs) ----------------------
+
+DATADOG_TRACES_PATH = "/api/v0.2/traces"  # api_request.rs:17
+
+# Region → trace-agent endpoint (mod.rs:72-81)
+DATADOG_REGION_BASES = {
+    "us1": "datadoghq.com",
+    "us3": "us3.datadoghq.com",
+    "us5": "us5.datadoghq.com",
+    "eu": "datadoghq.eu",
+    "ap1": "ap1.datadoghq.com",
+}
+
+
+def trace_endpoint(region: str = "us1") -> str:
+    """mod.rs:72-81 — https://trace.agent.{regional base}."""
+    try:
+        base = DATADOG_REGION_BASES[region.lower()]
+    except KeyError:
+        raise ValueError(f"unknown Datadog region: {region}") from None
+    return f"https://trace.agent.{base}"
+
+
+def trace_request(
+    agent_payload: bytes,
+    api_key: str,
+    region: str = "us1",
+    custom_endpoint: str | None = None,
+) -> dict:
+    """The AgentPayload POST (api_request.rs:28-80): endpoint joined
+    with /api/v0.2/traces; DD-API-KEY + x-protobuf + gzip headers;
+    body = gzip(protobuf bytes). Request shaping only — no network in
+    this sandbox."""
+    import zlib
+
+    endpoint = (custom_endpoint or trace_endpoint(region)).rstrip("/")
+    co = zlib.compressobj(wbits=31)
+    body = co.compress(agent_payload) + co.flush()
+    return {
+        "method": "POST",
+        "url": endpoint + DATADOG_TRACES_PATH,
+        "headers": {
+            "DD-API-KEY": api_key,
+            "Content-Type": "application/x-protobuf",
+            "Content-Encoding": "gzip",
+        },
+        "body": body,
+    }

@@ -220,3 +220,38 @@ def test_source_inference(spark):
             else None
         )
         assert got == expected, (rattrs, got, expected)
+
+
+class TestRequestShaping:
+    def test_region_endpoints(self):
+        # mod.rs:72-81
+        from rotel_spark.sinks.datadog import trace_endpoint
+
+        assert trace_endpoint("us1") == "https://trace.agent.datadoghq.com"
+        assert trace_endpoint("eu") == "https://trace.agent.datadoghq.eu"
+        assert trace_endpoint("ap1") == (
+            "https://trace.agent.ap1.datadoghq.com"
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            trace_endpoint("mars")
+
+    def test_trace_request(self):
+        import zlib
+
+        from rotel_spark.sinks.datadog import trace_request
+
+        r = trace_request(b"\x0a\x03abc", api_key="k123", region="us3")
+        assert r["url"] == (
+            "https://trace.agent.us3.datadoghq.com/api/v0.2/traces"
+        )
+        assert r["headers"]["DD-API-KEY"] == "k123"
+        assert r["headers"]["Content-Encoding"] == "gzip"
+        assert zlib.decompress(r["body"], wbits=31) == b"\x0a\x03abc"
+
+    def test_custom_endpoint(self):
+        from rotel_spark.sinks.datadog import trace_request
+
+        r = trace_request(b"", "k", custom_endpoint="http://agent:8126/")
+        assert r["url"] == "http://agent:8126/api/v0.2/traces"
