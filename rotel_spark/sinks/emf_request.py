@@ -144,3 +144,138 @@ def build_requests(
             }
         )
     return reqs
+
+
+# --- CloudWatch bootstrap requests (cloudwatch.rs) -------------------------
+
+
+def _aws_json_request(
+    target: str,
+    payload: dict,
+    endpoint: str,
+    region: str | None = None,
+    creds=None,
+    now=None,
+) -> dict:
+    """Shared Logs_20140328.* request shape (cloudwatch.rs:177-205):
+    gzip JSON body, x-amz-json-1.1 content type, per-call
+    X-Amz-Target, SigV4-signed when creds provided."""
+    raw = json.dumps(payload, separators=(",", ":")).encode()
+    co = zlib.compressobj(wbits=31)
+    body = co.compress(raw) + co.flush()
+    headers = {
+        "Content-Encoding": "gzip",
+        "Content-Type": "application/x-amz-json-1.1",
+        "X-Amz-Target": target,
+    }
+    url = endpoint.rstrip("/") + "/"
+    if creds is not None and region is not None:
+        from rotel_spark.sinks.aws_auth import sign_request
+
+        headers = sign_request(
+            "logs", region, url, "POST", headers, body, creds, now=now
+        )
+    return {"method": "POST", "url": url, "headers": headers,
+            "body": body}
+
+
+def create_log_group_request(log_group: str, endpoint: str, **kw) -> dict:
+    """cloudwatch.rs:163-174."""
+    return _aws_json_request(
+        "Logs_20140328.CreateLogGroup",
+        {"logGroupName": log_group}, endpoint, **kw,
+    )
+
+
+def create_log_stream_request(
+    log_group: str, log_stream: str, endpoint: str, **kw
+) -> dict:
+    """cloudwatch.rs:143-161."""
+    return _aws_json_request(
+        "Logs_20140328.CreateLogStream",
+        {"logGroupName": log_group, "logStreamName": log_stream},
+        endpoint, **kw,
+    )
+
+
+def put_retention_policy_request(
+    log_group: str, retention_in_days: int, endpoint: str, **kw
+) -> dict:
+    """cloudwatch.rs:124-141."""
+    return _aws_json_request(
+        "Logs_20140328.PutRetentionPolicy",
+        {"logGroupName": log_group,
+         "retentionInDays": retention_in_days},
+        endpoint, **kw,
+    )
+
+
+def bootstrap_requests(
+    log_group: str,
+    log_stream: str,
+    endpoint: str,
+    log_retention_days: int = 0,
+    **kw,
+) -> list[dict]:
+    """The create_stream recovery sequence after a
+    ResourceNotFoundException (cloudwatch.rs:79-121): create the log
+    group, set retention when non-zero (groups default to
+    never-expire), then create the stream."""
+    reqs = [create_log_group_request(log_group, endpoint, **kw)]
+    if log_retention_days:
+        reqs.append(
+            put_retention_policy_request(
+                log_group, log_retention_days, endpoint, **kw
+            )
+        )
+    reqs.append(
+        create_log_stream_request(log_group, log_stream, endpoint, **kw)
+    )
+    return reqs
+
+
+# --- response classification (awsemf/errors.rs) ----------------------------
+
+_EMF_ERROR_TYPES = {
+    # errors.rs:85-103 — the __type discriminator values
+    "ExpiredTokenException",
+    "InvalidParameterException",
+    "ResourceNotFoundException",
+    "ServiceUnavailableException",
+    "UnrecognizedClientException",
+    "ResourceAlreadyExistsException",
+}
+
+
+def decode_emf_response(
+    body: bytes, gzipped: bool = False
+) -> tuple[str, str]:
+    """errors.rs:60-106 AwsEmfDecoder: gunzip when flagged; parse the
+    x-amz-json error envelope {"__type": ..., "message": ...}.
+    Returns (kind, message): empty body/no __type → ("Empty", ""),
+    unparseable JSON → ("ParseError", raw text), unknown type →
+    ("Unknown:<type>", msg)."""
+    if gzipped:
+        body = zlib.decompress(body, wbits=31)
+    try:
+        payload = json.loads(body) if body.strip() else {}
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return "ParseError", body.decode("utf-8", "replace")
+    t = payload.get("__type")
+    if t is None:
+        return "Empty", ""
+    msg = payload.get("message") or ""
+    if t in _EMF_ERROR_TYPES:
+        return t, msg
+    return f"Unknown:{t}", msg
+
+
+def emf_response_actions(kind: str) -> dict:
+    """The interceptor/retry policy for one decoded response:
+    ResourceNotFoundException both forces a retry (errors.rs:122-129
+    is_retryable_error) and triggers the bootstrap sequence
+    (response_interceptor.rs:71-88 → cloudwatch.create_stream)."""
+    return {
+        "force_retry": kind == "ResourceNotFoundException",
+        "bootstrap_stream": kind == "ResourceNotFoundException",
+    }

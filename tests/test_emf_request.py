@@ -98,3 +98,76 @@ class TestRequest:
         assert "/us-west-2/logs/aws4_request" in auth
         assert "content-encoding" in auth  # header got signed
         assert reqs[0]["headers"]["X-Amz-Date"] == "20230401T120000Z"
+
+
+class TestBootstrap:
+    def test_sequence_without_retention(self):
+        # cloudwatch.rs:79-121: group → stream (no retention call)
+        from rotel_spark.sinks.emf_request import bootstrap_requests
+
+        reqs = bootstrap_requests(
+            "g", "s", "https://logs.us-west-2.amazonaws.com"
+        )
+        targets = [r["headers"]["X-Amz-Target"] for r in reqs]
+        assert targets == [
+            "Logs_20140328.CreateLogGroup",
+            "Logs_20140328.CreateLogStream",
+        ]
+
+    def test_sequence_with_retention(self):
+        from rotel_spark.sinks.emf_request import bootstrap_requests
+
+        reqs = bootstrap_requests(
+            "g", "s", "https://logs.us-west-2.amazonaws.com",
+            log_retention_days=14,
+        )
+        targets = [r["headers"]["X-Amz-Target"] for r in reqs]
+        assert targets == [
+            "Logs_20140328.CreateLogGroup",
+            "Logs_20140328.PutRetentionPolicy",
+            "Logs_20140328.CreateLogStream",
+        ]
+        body = json.loads(zlib.decompress(reqs[1]["body"], wbits=31))
+        assert body == {"logGroupName": "g", "retentionInDays": 14}
+
+
+class TestResponseDecode:
+    def test_error_envelope(self):
+        # errors.rs:85-103 __type discriminator
+        from rotel_spark.sinks.emf_request import decode_emf_response
+
+        kind, msg = decode_emf_response(
+            b'{"__type":"ResourceNotFoundException",'
+            b'"message":"no stream"}'
+        )
+        assert kind == "ResourceNotFoundException" and msg == "no stream"
+
+    def test_empty_and_unknown(self):
+        from rotel_spark.sinks.emf_request import decode_emf_response
+
+        assert decode_emf_response(b"{}") == ("Empty", "")
+        assert decode_emf_response(b"") == ("Empty", "")
+        kind, _ = decode_emf_response(b'{"__type":"NewError"}')
+        assert kind == "Unknown:NewError"
+        kind, raw = decode_emf_response(b"not json at all")
+        assert kind == "ParseError" and raw == "not json at all"
+
+    def test_gzipped_response(self):
+        from rotel_spark.sinks.emf_request import decode_emf_response
+
+        co = zlib.compressobj(wbits=31)
+        body = co.compress(
+            b'{"__type":"ServiceUnavailableException","message":"x"}'
+        ) + co.flush()
+        assert decode_emf_response(body, gzipped=True) == (
+            "ServiceUnavailableException", "x",
+        )
+
+    def test_resource_not_found_actions(self):
+        # errors.rs:122-129 + response_interceptor.rs:71-88
+        from rotel_spark.sinks.emf_request import emf_response_actions
+
+        a = emf_response_actions("ResourceNotFoundException")
+        assert a == {"force_retry": True, "bootstrap_stream": True}
+        b = emf_response_actions("ResourceAlreadyExistsException")
+        assert not b["force_retry"] and not b["bootstrap_stream"]
