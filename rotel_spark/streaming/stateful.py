@@ -28,16 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def offset_tracker_stream(
-    df: DataFrame,
+def make_offset_tracker(
     file_col: str = "source_file",
     offset_col: str = "offset",
-) -> DataFrame:
-    """Streaming offset high-watermark per file (offset_tracker.rs
-    analog). Emits only rows with offset > committed watermark and
-    advances the watermark to the max emitted offset."""
-    out_schema = f"{file_col} string, {offset_col} long"
-    state_schema = "committed long"
+):
+    """Build the offset-tracker state kernel (module-level so tests can
+    drive it directly with adversarial chunk orderings — the shuffle
+    gives NO offset-order guarantee within a group's chunk iterator)."""
 
     def track(
         key: tuple,
@@ -65,6 +62,21 @@ def offset_tracker_stream(
                 best = max(best, int(fresh[offset_col].max()))
                 yield fresh[[file_col, offset_col]]
         state.update((best,))
+
+    return track
+
+
+def offset_tracker_stream(
+    df: DataFrame,
+    file_col: str = "source_file",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Streaming offset high-watermark per file (offset_tracker.rs
+    analog). Emits only rows with offset > committed watermark and
+    advances the watermark to the max emitted offset."""
+    out_schema = f"{file_col} string, {offset_col} long"
+    state_schema = "committed long"
+    track = make_offset_tracker(file_col, offset_col)
 
     return df.groupBy(file_col).applyInPandasWithState(
         track,
@@ -95,6 +107,24 @@ def stateful_dedup_stream(
     guarantee starts decaying."""
     out_schema = f"{key_col} string, {hash_col} long, evicted long"
     state_schema = "hashes array<long>, evicted long"
+    dedup = make_stateful_dedup(key_col, hash_col, max_hashes_per_key)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_stateful_dedup(
+    key_col: str = "shard",
+    hash_col: str = "content_hash",
+    max_hashes_per_key: int = 1_000_000,
+):
+    """Build the cross-batch dedup state kernel (module-level for
+    direct adversarial-ordering tests, like make_offset_tracker)."""
 
     def dedup(
         key: tuple,
@@ -122,10 +152,4 @@ def stateful_dedup_stream(
             order = order[-max_hashes_per_key:]
         state.update((order, evicted))
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        dedup,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return dedup

@@ -173,3 +173,133 @@ def test_offset_tracker_out_of_order_fresh_offsets(spark, tmp_path):
     )
     got = sorted(r.offset for r in both.collect())
     assert got == [1, 2, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: drive the state kernels DIRECTLY (no Spark) under
+# adversarial chunk ordering. The shuffle gives no offset-order
+# guarantee within a group's chunk iterator — the r3 ADVICE failure
+# mode was a running-max filter dropping a fresh offset that arrived
+# after a higher one in the same micro-batch. These lock the seen-set
+# fix with >=100 random permutations each.
+# ---------------------------------------------------------------------------
+
+import random
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rotel_spark.streaming.stateful import (
+    make_offset_tracker,
+    make_stateful_dedup,
+)
+
+
+class FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _permuted_chunks(rows, rng, colname, file_col=None):
+    """Split rows into 1..len chunks and deliver them in random order,
+    mimicking arbitrary shuffle chunking within one micro-batch."""
+    rows = list(rows)
+    rng.shuffle(rows)
+    if not rows:
+        return []
+    n_cuts = rng.randint(0, len(rows) - 1)
+    cuts = sorted(rng.sample(range(1, len(rows)), n_cuts)) if n_cuts else []
+    chunks, prev = [], 0
+    for c in cuts + [len(rows)]:
+        part = rows[prev:c]
+        prev = c
+        data = {colname: part}
+        if file_col is not None:
+            data = {file_col: ["f1"] * len(part), colname: part}
+        chunks.append(pd.DataFrame(data))
+    return chunks
+
+
+offsets_batches = st.lists(
+    st.lists(st.integers(min_value=0, max_value=30), max_size=20),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(batches=offsets_batches, seed=st.integers(0, 2**32 - 1))
+def test_offset_tracker_kernel_order_invariant(batches, seed):
+    """Across any chunking/ordering within each micro-batch: every
+    fresh offset (> committed watermark at batch start) is emitted
+    exactly once, nothing committed is ever re-emitted, and the
+    watermark advances to the max ever emitted."""
+    rng = random.Random(seed)
+    track = make_offset_tracker("source_file", "offset")
+    state = FakeGroupState()
+    committed = -1
+    emitted_ever = []
+    for batch in batches:
+        chunks = _permuted_chunks(
+            batch, rng, "offset", file_col="source_file"
+        )
+        out = list(track(("f1",), iter(chunks), state))
+        got = sorted(
+            int(o) for pdf in out for o in pdf["offset"]
+        )
+        expect = sorted({o for o in batch if o > committed})
+        assert got == expect, (
+            f"fresh-offset loss/dup under ordering: {got} != {expect}"
+        )
+        emitted_ever.extend(got)
+        committed = max([committed] + got)
+        assert state.get[0] == committed
+    assert len(emitted_ever) == len(set(emitted_ever))
+
+
+hash_batches = st.lists(
+    st.lists(st.integers(min_value=0, max_value=15), max_size=15),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(batches=hash_batches, seed=st.integers(0, 2**32 - 1))
+def test_stateful_dedup_kernel_order_invariant(batches, seed):
+    """Cross-batch dedup under arbitrary chunk ordering: each hash is
+    emitted exactly once across all micro-batches (cap not hit)."""
+    rng = random.Random(seed)
+    dedup = make_stateful_dedup("shard", "content_hash", 1_000_000)
+    state = FakeGroupState()
+    seen_ever: set[int] = set()
+    for batch in batches:
+        rows = [("s0", h) for h in batch]
+        rng.shuffle(rows)
+        chunks = []
+        for pdf in _permuted_chunks(
+            [h for _, h in rows], rng, "content_hash"
+        ):
+            pdf.insert(0, "shard", "s0")
+            chunks.append(pdf)
+        out = list(dedup(("s0",), iter(chunks), state))
+        got = sorted(
+            int(h) for pdf in out for h in pdf["content_hash"]
+        )
+        expect = sorted(set(batch) - seen_ever)
+        assert got == expect
+        seen_ever |= set(batch)
