@@ -1587,6 +1587,95 @@ def q_json_attrs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clickhouse_rows_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse use_json=true LOG ROW wire path (mod.rs:127-128,
+    transformer.rs:44-46): parsed nginx lines → LogRecordRow whose
+    three attr columns are TYPED JSON columns (LOG_ROW_CH_TYPES_JSON)
+    → full RowBinary encode inside the lz4+cityhash native frame →
+    decode back. Per-path facts prove the Dynamic discriminators keep
+    Int64/Float64/Bool/String/Array distinct end-to-end (the
+    Map(String,String) mode stringifies all of these), and that
+    nested objects expand to dotted paths (transformer.rs:95-131).
+    The double fact is rescaled to an exact integer (loads are
+    multiples of 2^-12) so the compare is tie-break-proof."""
+    import pandas as pd
+
+    from rotel_spark.schema import to_log_record_row
+    from rotel_spark.sinks.ch_compress import decompress_frame
+    from rotel_spark.sinks.rowbinary import (
+        LOG_ROW_CH_TYPES_JSON,
+        decode_rows,
+        rows_to_rowbinary,
+    )
+
+    df = parse_combined(_pages(spark, sf_dir).filter(F.col("fmt") == 0))
+    df = upsert_resource_attributes(df, {"service.name": "web-crawl"})
+    df = df.withColumn(
+        "log_attributes_json",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("status").cast("long").alias("status"),
+                    (
+                        F.col("body_bytes_sent").cast("double")
+                        / F.lit(4096.0)
+                    ).alias("load"),
+                ).alias("http"),
+                F.col("method").alias("method"),
+                (F.col("status").cast("int") >= 500).alias("err"),
+                F.array(F.col("remote_user"), F.lit("web")).alias("tags"),
+            )
+        ),
+    )
+    payloads = rows_to_rowbinary(
+        to_log_record_row(df, use_json=True),
+        LOG_ROW_CH_TYPES_JSON,
+        compress=True,
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            recs = []
+            for payload in pdf["payload"]:
+                raw = decompress_frame(bytes(payload))
+                for r in decode_rows(raw, LOG_ROW_CH_TYPES_JSON):
+                    svc_ok = (
+                        r["ResourceAttributes"].get("service.name")
+                        == "web-crawl"
+                        and r["ScopeAttributes"] == {}
+                    )
+                    for k, v in r["LogAttributes"].items():
+                        if isinstance(v, bool):
+                            vt, iv, dv, nt, al = "bool", 0, 0.0, int(v), 0
+                        elif isinstance(v, int):
+                            vt, iv, dv, nt, al = "int", int(v), 0.0, 0, 0
+                        elif isinstance(v, float):
+                            vt, iv, dv, nt, al = "double", 0, float(v), 0, 0
+                        elif isinstance(v, list):
+                            vt, iv, dv, nt, al = "array", 0, 0.0, 0, len(v)
+                        else:
+                            vt, iv, dv, nt, al = "string", 0, 0.0, 0, 0
+                        recs.append((k, vt, iv, dv, nt, al, int(svc_ok)))
+            yield pd.DataFrame(
+                recs,
+                columns=["key", "vtype", "iv", "dv", "nt", "al", "svc_ok"],
+            )
+
+    decoded = payloads.mapInPandas(
+        _decode,
+        "key string, vtype string, iv long, dv double, nt long,"
+        " al long, svc_ok long",
+    )
+    return decoded.groupBy("key", "vtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("int_sum"),
+        F.round(F.sum("dv") * 4096).cast("long").alias("dbl_sum_x4096"),
+        F.sum("nt").alias("n_true"),
+        F.sum("al").alias("arr_len_sum"),
+        F.sum("svc_ok").alias("n_svc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1649,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_metric_rows": q_clickhouse_metric_rows,
         "rowbinary_roundtrip": q_rowbinary_roundtrip,
         "json_attrs_roundtrip": q_json_attrs_roundtrip,
+        "clickhouse_rows_json": q_clickhouse_rows_json,
     }
 
 
@@ -1960,6 +2050,30 @@ UNION ALL SELECT 'tags', 'string', n, 0, 0.0 FROM tot
 UNION ALL SELECT 'ok', 'string', n, 0, 0.0 FROM tot
 UNION ALL SELECT 'svc', 'string', n, 0, 0.0 FROM tot
 UNION ALL SELECT 'deep.l1.l2', 'string', n, 0, 0.0 FROM tot
+""",
+        # use_json LogRecordRow: per-path type/count facts derived by
+        # arithmetic from the generator; the typed JSON column codec
+        # must be lossless (and type-preserving) for these to match.
+        # load = body_bytes/4096 is a multiple of 2^-12 < 1.04, so
+        # sums are exact doubles and the x4096 rescale is an integer.
+        "clickhouse_rows_json": f"""
+WITH {PAGES},
+f AS (SELECT CAST(status AS BIGINT) AS status,
+             CAST(page_id % 4096 + 128 AS BIGINT) AS body_bytes
+      FROM pages WHERE fmt = 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(status) AS BIGINT) AS ssum,
+               CAST(sum(body_bytes) AS BIGINT) AS bsum,
+               CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ntrue
+        FROM f)
+SELECT 'http.status' AS key, 'int' AS vtype, n, ssum AS int_sum,
+       CAST(0 AS BIGINT) AS dbl_sum_x4096, CAST(0 AS BIGINT) AS n_true,
+       CAST(0 AS BIGINT) AS arr_len_sum, n AS n_svc FROM tot
+UNION ALL SELECT 'http.load', 'double', n, 0, bsum, 0, 0, n FROM tot
+UNION ALL SELECT 'method', 'string', n, 0, 0, 0, 0, n FROM tot
+UNION ALL SELECT 'err', 'bool', n, 0, 0, ntrue, 0, n FROM tot
+UNION ALL SELECT 'tags', 'array', n, 0, 0, 0, 2 * n, n FROM tot
 """,
         "minhash_dedup": f"""
 WITH {_shingles_cte("documents", "doc_id", "text")},

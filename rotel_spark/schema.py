@@ -71,7 +71,7 @@ def log_record_columns(with_event_name: bool = False) -> list[str]:
 
 
 def to_log_record_row(
-    df: DataFrame, with_event_name: bool = False
+    df: DataFrame, with_event_name: bool = False, use_json: bool = False
 ) -> DataFrame:
     """Normalize a parsed frame into the exact LogRecordRow (15
     columns; 16 with the opt-in EventName, schema.rs:119-141).
@@ -82,6 +82,14 @@ def to_log_record_row(
       * SeverityNumber truncated to u8 range
       * missing trace/scope fields default to ''/empty maps
       * EventName = log record event_name, '' default
+
+    use_json=True is the reference's `with_json` mode (mod.rs:127-128,
+    transformer.rs:44-46): the three attr columns carry typed JSON
+    strings destined for ClickHouse JSON columns instead of
+    map<string,string>. A `log_attributes_json` column, when present,
+    supplies TYPED attrs (int/double/bool/array preserved); otherwise
+    the string map is serialized via to_json (all-string paths, the
+    degenerate case). Encode with rowbinary.LOG_ROW_CH_TYPES_JSON.
     """
     cols = set(df.columns)
 
@@ -92,6 +100,19 @@ def to_log_record_row(
     resource = F.coalesce(
         col_or("resource_attributes", empty_map), empty_map
     )
+    if use_json:
+        resource_attrs = F.to_json(resource).alias("ResourceAttributes")
+        scope_attrs = F.lit("{}").alias("ScopeAttributes")
+        log_attrs = F.coalesce(
+            col_or("log_attributes_json", F.lit(None).cast("string")),
+            F.to_json(F.coalesce(col_or("log_attributes", empty_map), empty_map)),
+        ).alias("LogAttributes")
+    else:
+        resource_attrs = resource.alias("ResourceAttributes")
+        scope_attrs = empty_map.alias("ScopeAttributes")
+        log_attrs = F.coalesce(
+            col_or("log_attributes", empty_map), empty_map
+        ).alias("LogAttributes")
     return df.select(
         F.coalesce(col_or("time_unix_nano", F.lit(None).cast("long")), F.lit(0)).alias("Timestamp"),
         F.coalesce(col_or("trace_id", F.lit("")), F.lit("")).alias("TraceId"),
@@ -112,14 +133,12 @@ def to_log_record_row(
         ).alias("ServiceName"),
         F.coalesce(col_or("body", F.lit("")), F.lit("")).alias("Body"),
         F.lit("").alias("ResourceSchemaUrl"),
-        resource.alias("ResourceAttributes"),
+        resource_attrs,
         F.lit("").alias("ScopeSchemaUrl"),
         F.lit("").alias("ScopeName"),
         F.lit("").alias("ScopeVersion"),
-        empty_map.alias("ScopeAttributes"),
-        F.coalesce(col_or("log_attributes", empty_map), empty_map).alias(
-            "LogAttributes"
-        ),
+        scope_attrs,
+        log_attrs,
         *(
             [
                 F.coalesce(col_or("event_name", F.lit("")), F.lit("")).alias(

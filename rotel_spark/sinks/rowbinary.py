@@ -133,6 +133,11 @@ def encode_value(out: bytearray, chtype: str, v: Any) -> None:
             encode_value(out, inner, item)
         return
     if chtype == "JSON":
+        # A Spark row frame carries JSON columns as typed JSON strings
+        # (to_json keeps int/double/bool/array distinct); parse +
+        # path-expand at the codec boundary (transformer.rs:95-131)
+        if isinstance(v, str):
+            v = json_paths_from_str(v)
         encode_json_column(out, v if v is not None else {})
         return
     if m := _MAP_RE.match(chtype):
@@ -316,6 +321,40 @@ def decode_json_dynamic(buf: bytes, off: int) -> tuple[Any, int]:
     raise ValueError(f"unknown JSON dynamic discriminator 0x{disc:02x}")
 
 
+def json_paths_from_str(s: str) -> dict:
+    """Typed JSON string → the JSON column's path map, mirroring the
+    transformer-level expansion (transformer.rs:95-131): nested
+    objects along the TOP-LEVEL chain flatten to dotted paths (the
+    KvlistValue rule); arrays are preserved with their elements
+    converted in place (a dict inside an array stays a map — the
+    anyvalue_to_jsontype nested rule, rowbinary/json.rs:111-136).
+    Leaf types stay native: json.loads keeps Int64/Float64/Bool/
+    String/Array distinct, which is the whole point of the JSON
+    column vs Map(String,String)."""
+    import json as _json
+
+    try:
+        obj = _json.loads(s) if s else {}
+    except ValueError:
+        obj = {}
+    if not isinstance(obj, dict):
+        obj = {}
+    out: dict = {}
+
+    def walk(prefix: str, d: dict) -> None:
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(key, v)
+            elif v is None:
+                continue  # None-valued attrs are skipped (transformer.rs:129)
+            else:
+                out[key] = v
+
+    walk("", obj)
+    return out
+
+
 def encode_json_column(out: bytearray, paths: dict) -> None:
     """One JSON column value: LEB128 path count ++ (key, dynamic)."""
     items = list(paths.items()) if isinstance(paths, dict) else list(paths or [])
@@ -358,6 +397,17 @@ LOG_ROW_CH_TYPES: list[tuple[str, str]] = [
     ("ScopeVersion", "String"),
     ("ScopeAttributes", "Map(String,String)"),
     ("LogAttributes", "Map(String,String)"),
+]
+
+# use_json=true variant (mod.rs:73,127-128; transformer.rs:44-46):
+# the three MapOrJson attr columns (schema.rs:101,105-106) become
+# ClickHouse JSON columns — typed Dynamic paths instead of
+# stringified Map(String,String)
+LOG_ROW_CH_TYPES_JSON: list[tuple[str, str]] = [
+    (n, "JSON" if n in (
+        "ResourceAttributes", "ScopeAttributes", "LogAttributes"
+    ) else t)
+    for n, t in LOG_ROW_CH_TYPES
 ]
 
 # SpanRow field types (schema.rs:22-54)

@@ -280,3 +280,63 @@ class TestJsonColumn:
         ]
         raw = encode_rows(iter(rows), schema)
         assert decode_rows(raw, schema) == rows
+
+    def test_json_paths_from_str_dotted_expansion(self):
+        """transformer.rs:95-131 path expansion: top-level nested
+        objects flatten to dotted paths; arrays preserved with
+        in-place element conversion (a dict INSIDE an array stays a
+        map); None-valued attrs skipped; leaf types stay native."""
+        from rotel_spark.sinks.rowbinary import json_paths_from_str
+
+        s = (
+            '{"http":{"status":500,"meta":{"retry":true}},'
+            '"svc":"web","ratio":0.5,"skip":null,'
+            '"tags":[1,"a",{"k":2}]}'
+        )
+        assert json_paths_from_str(s) == {
+            "http.status": 500,
+            "http.meta.retry": True,
+            "svc": "web",
+            "ratio": 0.5,
+            "tags": [1, "a", {"k": 2}],
+        }
+        assert json_paths_from_str("") == {}
+        assert json_paths_from_str("not json") == {}
+        assert json_paths_from_str("[1,2]") == {}
+
+    def test_json_mode_row_from_json_strings(self):
+        """LOG_ROW_CH_TYPES_JSON end-to-end: a row frame carrying
+        typed JSON STRINGS in the attr columns encodes to JSON
+        columns (paths typed + dotted) and decodes back typed."""
+        from rotel_spark.sinks.rowbinary import (
+            LOG_ROW_CH_TYPES_JSON,
+            decode_rows,
+            encode_rows,
+        )
+
+        assert [t for n, t in LOG_ROW_CH_TYPES_JSON if n.endswith("Attributes")] == [
+            "JSON", "JSON", "JSON"
+        ]
+        row = {n: 0 if t.startswith(("UInt", "Int")) else "" for n, t in LOG_ROW_CH_TYPES_JSON}
+        row.update(
+            {
+                "Body": "GET /x 200",
+                "ResourceAttributes": '{"service.name":"web-crawl"}',
+                "ScopeAttributes": "{}",
+                "LogAttributes": '{"http":{"status":200},"ok":true,"r":0.25,"tags":["a","b"]}',
+            }
+        )
+        raw = encode_rows(iter([row]), LOG_ROW_CH_TYPES_JSON)
+        back = decode_rows(raw, LOG_ROW_CH_TYPES_JSON)
+        assert len(back) == 1
+        attrs = back[0]["LogAttributes"]
+        assert attrs == {
+            "http.status": 200,
+            "ok": True,
+            "r": 0.25,
+            "tags": ["a", "b"],
+        }
+        assert isinstance(attrs["http.status"], int)
+        assert isinstance(attrs["ok"], bool)
+        assert back[0]["ResourceAttributes"] == {"service.name": "web-crawl"}
+        assert back[0]["ScopeAttributes"] == {}
