@@ -1676,6 +1676,109 @@ def q_clickhouse_rows_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emf_document_detailed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMF detailed-metrics mode: summary documents additionally emit
+    each quantile pair as a `{name}_{quantile}` field. The reference
+    collects SummaryDataPoint.quantile_values into
+    MetricValue::Summary::_quantiles (awsemf/transformer.rs:452-455)
+    and leaves the detailed emit as its :611 TODO — this completes
+    that intent (default emit unchanged, see emf_document). Graded
+    fields are re-extracted from the emitted JSON text, proving the
+    document shape decodes; quantile values must equal the oracle's
+    independent arithmetic (q0.5 = midrange, q0.99 = max — the
+    generator's deterministic quantile_values)."""
+    from rotel_spark.telemetry import emf_documents
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = emf_documents(events, detailed_metrics=True).filter(
+        F.col("metric_type") == "summary"
+    )
+    num = r"([-0-9.eE]+)[,}]"
+    return docs.select(
+        "service",
+        "event_type",
+        F.get_json_object("emf_json", "$._aws.Timestamp")
+        .cast("long")
+        .alias("ts_ms"),
+        F.regexp_extract("emf_json", r'_count":(\d+)', 1)
+        .cast("long")
+        .alias("dp_count"),
+        F.regexp_extract("emf_json", r'_0\.5":' + num, 1)
+        .cast("double")
+        .alias("q50"),
+        F.regexp_extract("emf_json", r'_0\.99":' + num, 1)
+        .cast("double")
+        .alias("q99"),
+    )
+
+
+def q_emf_delta_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative→delta conversion (awsemf/transformer.rs
+    DeltaCalculator :804-845, SummaryDeltaCalculator :853-916): a
+    cumulative-temporality input is synthesized per series as exact
+    integer micro-unit running totals (wrapped at 10^9 so the
+    counter-RESET branch fires: negative delta → emit current value),
+    then delta-converted. Number mode drops each series' initial
+    point (retain_initial_value=false); summary mode retains it and
+    deltas the sum/count pair with no reset clamp. Expiry horizon is
+    widened to 6h for the batch fixture (the reference's wall-clock
+    5-minute cache horizon, :807-813, scaled to the fixture's event-
+    time density — same rule both sides of the oracle). Row-level
+    compare over every emitted delta."""
+    from rotel_spark.telemetry import (
+        cumulative_to_delta,
+        events_to_typed_datapoints,
+    )
+    from pyspark.sql import Window
+
+    WRAP = 1_000_000_000  # micro-units
+    EXPIRY = 21_600 * 10**9  # 6h in ns
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dps = events_to_typed_datapoints(events)
+    keys = ["namespace", "metric_name", "service", "event_type"]
+    w = Window.partitionBy(*keys).orderBy("ts_minute_nano")
+    micro = F.round(F.col("dp_sum") * 1e6).cast("long")
+    ts_ms = (F.col("ts_minute_nano") / 1000000).cast("long").alias("ts_ms")
+
+    sums = (
+        dps.filter(F.col("metric_type") == "sum")
+        .withColumn("cum", F.sum(micro).over(w) % WRAP)
+    )
+    number = cumulative_to_delta(
+        sums, keys, value_col="cum", retain_initial_value=False,
+        expiry_ns=EXPIRY, out_col="delta",
+    )
+    num_out = number.select(
+        F.lit("sum").alias("mode"),
+        "service",
+        "event_type",
+        ts_ms,
+        F.col("delta").cast("long").alias("d_sum"),
+        F.lit(0).cast("long").alias("d_count"),
+        F.col("is_initial").cast("int").alias("initial"),
+    )
+
+    summ = (
+        dps.filter(F.col("metric_type") == "summary")
+        .withColumn("cum_sum", F.sum(micro).over(w))
+        .withColumn("cum_n", F.sum("dp_count").over(w))
+    )
+    summary = cumulative_to_delta(
+        summ, keys, value_col="cum_sum", count_col="cum_n",
+        retain_initial_value=True, expiry_ns=EXPIRY, out_col="delta",
+    )
+    sum_out = summary.select(
+        F.lit("summary").alias("mode"),
+        "service",
+        "event_type",
+        ts_ms,
+        F.col("delta").cast("long").alias("d_sum"),
+        F.col("delta_count").cast("long").alias("d_count"),
+        F.col("is_initial").cast("int").alias("initial"),
+    )
+    return num_out.unionByName(sum_out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1739,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowbinary_roundtrip": q_rowbinary_roundtrip,
         "json_attrs_roundtrip": q_json_attrs_roundtrip,
         "clickhouse_rows_json": q_clickhouse_rows_json,
+        "emf_document_detailed": q_emf_document_detailed,
+        "emf_delta_conversion": q_emf_delta_conversion,
     }
 
 
@@ -2074,6 +2179,77 @@ UNION ALL SELECT 'http.load', 'double', n, 0, bsum, 0, 0, n FROM tot
 UNION ALL SELECT 'method', 'string', n, 0, 0, 0, 0, n FROM tot
 UNION ALL SELECT 'err', 'bool', n, 0, 0, ntrue, 0, n FROM tot
 UNION ALL SELECT 'tags', 'array', n, 0, 0, 0, 2 * n, n FROM tot
+""",
+        # detailed-metrics summary docs: quantile fields re-derived by
+        # the generator arithmetic (q0.5 = midrange, q0.99 = max)
+        "emf_document_detailed": """
+WITH dp AS (
+  SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm,
+         value
+  FROM events),
+grp AS (
+  SELECT service, event_type, tsm,
+         CAST(count(*) AS BIGINT) AS n,
+         round(min(value), 6) AS mn,
+         round(max(value), 6) AS mx
+  FROM dp GROUP BY 1, 2, 3)
+SELECT service, event_type,
+       CAST(tsm / 1000000 AS BIGINT) AS ts_ms,
+       n AS dp_count,
+       round((mn + mx) / 2, 6) AS q50,
+       mx AS q99
+FROM grp
+""",
+        # cumulative→delta: identical synthesis + rules in SQL window
+        # functions — integer micro-units make every compare exact
+        "emf_delta_conversion": """
+WITH dp AS (
+  SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+         event_type,
+         (epoch_us(ts) - epoch_us(ts) % 60000000) * 1000 AS tsm,
+         value
+  FROM events),
+grp AS (
+  SELECT service, event_type, tsm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(round(round(sum(value), 6) * 1e6) AS BIGINT) AS si
+  FROM dp GROUP BY 1, 2, 3),
+run AS (
+  SELECT service, event_type, tsm, n,
+         SUM(si) OVER w % 1000000000 AS c_wrap,
+         SUM(si) OVER w AS c_sum,
+         SUM(n) OVER w AS c_n
+  FROM grp
+  WINDOW w AS (PARTITION BY service, event_type ORDER BY tsm)),
+cum AS (
+  SELECT *,
+         lag(tsm) OVER w AS p_ts,
+         lag(c_wrap) OVER w AS p_wrap,
+         lag(c_sum) OVER w AS p_sum,
+         lag(c_n) OVER w AS p_n
+  FROM run
+  WINDOW w AS (PARTITION BY service, event_type ORDER BY tsm)),
+flagged AS (
+  SELECT *,
+         (p_ts IS NULL OR tsm - p_ts > 21600000000000) AS first
+  FROM cum)
+SELECT 'sum' AS mode, service, event_type,
+       CAST(tsm / 1000000 AS BIGINT) AS ts_ms,
+       CAST(CASE WHEN c_wrap - p_wrap >= 0 THEN c_wrap - p_wrap
+                 ELSE c_wrap END AS BIGINT) AS d_sum,
+       CAST(0 AS BIGINT) AS d_count,
+       CAST(0 AS INTEGER) AS initial
+FROM flagged WHERE NOT first
+UNION ALL
+SELECT 'summary', service, event_type,
+       CAST(tsm / 1000000 AS BIGINT),
+       CAST(CASE WHEN first THEN c_sum ELSE c_sum - p_sum END
+            AS BIGINT),
+       CAST(CASE WHEN first THEN c_n ELSE c_n - p_n END AS BIGINT),
+       CAST(CASE WHEN first THEN 1 ELSE 0 END AS INTEGER)
+FROM flagged
 """,
         "minhash_dedup": f"""
 WITH {_shingles_cte("documents", "doc_id", "text")},

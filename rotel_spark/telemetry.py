@@ -142,6 +142,11 @@ def spans_to_resource_tree(
     )
 
 
+# SummaryDataPoint quantile_values pairs (transformer.rs:452-455
+# collects them into MetricValue::Summary::_quantiles :159-160)
+_QUANTILES_TYPE = "array<struct<q:double,v:double>>"
+
+
 def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
     """events → typed metric datapoints covering all five OTLP Data
     variants the reference sizes and batches
@@ -158,6 +163,7 @@ def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
                 EMF transformer emits for those types
                 (awsemf/transformer.rs:592-614).
     """
+    no_quantiles = F.array().cast(_QUANTILES_TYPE)
     base = events_to_datapoints(events)
     gauge = base.select(
         "metric_name",
@@ -170,6 +176,7 @@ def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
         F.round(F.col("value"), 6).alias("dp_sum"),
         F.round(F.col("value"), 6).alias("dp_min"),
         F.round(F.col("value"), 6).alias("dp_max"),
+        no_quantiles.alias("dp_quantiles"),
     )
     grouped = base.groupBy(
         "namespace", "service", "event_type", "ts_minute_nano"
@@ -179,6 +186,18 @@ def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
         F.round(F.min("value"), 6).alias("_min"),
         F.round(F.max("value"), 6).alias("_max"),
     )
+    # summary datapoints carry their quantile_values pairs
+    # (SummaryDataPoint.quantile_values → _quantiles,
+    # transformer.rs:452-455); deterministic generator choice:
+    # q0.5 = midrange, q0.99 = max
+    summary_quantiles = F.array(
+        F.struct(
+            F.lit(0.5).alias("q"),
+            F.round((F.col("_min") + F.col("_max")) / 2, 6).alias("v"),
+        ),
+        F.struct(F.lit(0.99).alias("q"), F.col("_max").alias("v")),
+    ).cast(_QUANTILES_TYPE)
+    no_q = F.array().cast(_QUANTILES_TYPE)
     typed = []
     for mtype, suffix in (
         ("sum", "total"),
@@ -201,6 +220,9 @@ def events_to_typed_datapoints(events: DataFrame) -> DataFrame:
                 F.col("_sum").alias("dp_sum"),
                 F.col("_min").alias("dp_min"),
                 F.col("_max").alias("dp_max"),
+                (
+                    summary_quantiles if mtype == "summary" else no_q
+                ).alias("dp_quantiles"),
             )
         )
     out = gauge
@@ -233,7 +255,9 @@ def metrics_batch_sizing(
     )
 
 
-def emf_documents(events: DataFrame) -> DataFrame:
+def emf_documents(
+    events: DataFrame, detailed_metrics: bool = False
+) -> DataFrame:
     """Typed metrics → CloudWatch EMF JSON log documents with the
     reference's PER-TYPE emit shapes (awsemf/transformer.rs:560-618):
       * gauge/sum values emit as plain JSON numbers (:582-588),
@@ -259,6 +283,15 @@ def emf_documents(events: DataFrame) -> DataFrame:
     :507-509), which a distributed scan cannot reproduce — the
     deterministic stand-in here is max(value), documented.
 
+    detailed_metrics=True additionally emits each summary quantile
+    pair as a `{name}_{quantile}` field (e.g. `latency.summary_0.5`).
+    The reference COLLECTS quantile_values into
+    MetricValue::Summary::_quantiles (transformer.rs:452-455,:485) but
+    leaves the detailed emit as a documented TODO (:160, :611
+    "quantiles handled separately if detailed metrics enabled") — the
+    field shape here completes that intent; the default emit stays
+    byte-compatible with the reference's.
+
     Output: one row per (namespace, dims, timestamp, type) group with
     `emf_json` plus the group keys for joining/verification."""
     dps = events_to_typed_datapoints(events)
@@ -271,6 +304,7 @@ def emf_documents(events: DataFrame) -> DataFrame:
         F.max("dp_sum").alias("_sum"),
         F.min("dp_min").alias("_min"),
         F.max("dp_max").alias("_max"),
+        F.first("dp_quantiles").alias("_quantiles"),
     )
     envelope = F.struct(
         (F.col("ts_minute_nano") / 1000000).cast("long").alias("Timestamp"),
@@ -342,6 +376,28 @@ def emf_documents(events: DataFrame) -> DataFrame:
             )
         ),
     )
+    if detailed_metrics:
+        # one `{name}_{quantile}` field per quantile pair, riding
+        # to_json like every other dynamic-key fragment
+        quantile_fields = body(
+            F.to_json(
+                F.map_from_arrays(
+                    F.transform(
+                        F.col("_quantiles"),
+                        lambda e: F.concat(
+                            F.col("metric_name"),
+                            F.lit("_"),
+                            e["q"].cast("string"),
+                        ),
+                    ),
+                    F.transform(F.col("_quantiles"), lambda e: e["v"]),
+                )
+            )
+        )
+        summary_fields = F.when(
+            F.size("_quantiles") > 0,
+            F.concat_ws(",", summary_fields, quantile_fields),
+        ).otherwise(summary_fields)
     value_fragment = (
         F.when(F.col("metric_type").isin("gauge", "sum"), plain_field)
         .when(F.col("metric_type") == "summary", summary_fields)
@@ -377,3 +433,82 @@ def emf_group_datapoints(dps: DataFrame) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative → delta conversion (the EMF exporter's DeltaCalculator)
+# ---------------------------------------------------------------------------
+
+def cumulative_to_delta(
+    dps: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_minute_nano",
+    value_col: str = "value",
+    count_col: str | None = None,
+    retain_initial_value: bool = False,
+    expiry_ns: int = 300 * 10**9,
+    out_col: str = "delta",
+) -> DataFrame:
+    """Cumulative-temporality datapoints → deltas, per metric series.
+
+    Mirrors awsemf/transformer.rs DeltaCalculator (:804-845) and
+    SummaryDeltaCalculator (:853-916):
+
+      * first point of a series: emitted as its raw value only when
+        retain_initial_value (config
+        retain_initial_value_of_delta_metric), else dropped
+        (:837-843); summary mode computes the entry either way but the
+        same retained flag gates emission (:903-909).
+      * subsequent points: delta = value - prev; a NEGATIVE delta
+        means the counter reset, and the current value is emitted
+        as-is (:820-828). Summary deltas are plain sum/count diffs
+        with no reset clamp (:878-896).
+      * cache entries older than 5 minutes expire (:807-813), making
+        the next point "first" again. The reference expires on
+        wall-clock age; the deterministic batch analog is the
+        EVENT-TIME gap to the previous point exceeding expiry_ns.
+
+    Spark plan: one shuffle on the series key (lag window). State per
+    series is a single previous row, so at 100 TB this partitions by
+    series cardinality and never materializes more than the sorted
+    per-series slice; skewed series don't exist by construction (one
+    row per timestamp per series).
+
+    count_col switches summary mode: value_col/count_col are the
+    cumulative sum/count pair and both are delta'd (out_col and
+    f"{out_col}_count"). Output keeps all input columns, adds the
+    delta column(s) plus `is_initial`, and drops non-emitted rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    first = prev_v.isNull() | (
+        (F.col(ts_col) - prev_ts) > F.lit(expiry_ns)
+    )
+    if count_col is None:
+        diff = F.col(value_col) - prev_v
+        delta = (
+            F.when(first, F.col(value_col))
+            .when(diff >= 0, diff)
+            .otherwise(F.col(value_col))  # reset → current value
+        )
+        out = dps.withColumn(out_col, delta)
+    else:
+        prev_c = F.lag(count_col).over(w)
+        out = dps.withColumn(
+            out_col,
+            F.when(first, F.col(value_col)).otherwise(
+                F.col(value_col) - prev_v
+            ),
+        ).withColumn(
+            f"{out_col}_count",
+            F.when(first, F.col(count_col)).otherwise(
+                F.col(count_col) - prev_c
+            ),
+        )
+    out = out.withColumn("is_initial", first)
+    if not retain_initial_value:
+        out = out.filter(~F.col("is_initial"))
+    return out

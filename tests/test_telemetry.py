@@ -203,3 +203,101 @@ def test_emf_document_escapes_hostile_names(spark):
     for row in emf_documents(events).collect():
         doc = json.loads(row.emf_json)  # must parse
         assert doc["event_type"] == 'we"ird\\type'
+
+
+def test_cumulative_to_delta_rules(spark):
+    """DeltaCalculator semantics (awsemf/transformer.rs:804-845):
+    initial point gated by retain_initial_value, positive deltas
+    emitted as diffs, NEGATIVE delta = counter reset -> current value,
+    expiry gap makes the next point initial again."""
+    from rotel_spark.telemetry import cumulative_to_delta
+
+    M = 60 * 10**9  # one minute in ns
+    rows = [
+        # series a: 10, 25, 15 (reset -> emit 15), 18
+        ("a", 0 * M, 10.0),
+        ("a", 1 * M, 25.0),
+        ("a", 2 * M, 15.0),
+        ("a", 3 * M, 18.0),
+        # series b: 5, then a >5min gap -> 7 is initial again, 9
+        ("b", 0 * M, 5.0),
+        ("b", 7 * M, 7.0),
+        ("b", 8 * M, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = cumulative_to_delta(
+        df, ["k"], ts_col="ts", value_col="v",
+        retain_initial_value=False, out_col="d",
+    )
+    got = {(r.k, r.ts // M): (r.d, r.is_initial) for r in out.collect()}
+    assert got == {
+        ("a", 1): (15.0, False),
+        ("a", 2): (15.0, False),  # reset -> current value
+        ("a", 3): (3.0, False),
+        ("b", 8): (2.0, False),   # b@7 was initial (expired), dropped
+    }
+
+    retained = cumulative_to_delta(
+        df, ["k"], ts_col="ts", value_col="v",
+        retain_initial_value=True, out_col="d",
+    )
+    got2 = {(r.k, r.ts // M): (r.d, r.is_initial) for r in retained.collect()}
+    assert got2[("a", 0)] == (10.0, True)
+    assert got2[("b", 0)] == (5.0, True)
+    assert got2[("b", 7)] == (7.0, True)  # expired -> initial, raw value
+    assert len(got2) == 7
+
+
+def test_summary_delta_no_reset_clamp(spark):
+    """SummaryDeltaCalculator (:853-916): sum/count plain diffs, a
+    DECREASE stays a negative delta (no reset rule for summaries)."""
+    from rotel_spark.telemetry import cumulative_to_delta
+
+    M = 60 * 10**9
+    rows = [
+        ("s", 0 * M, 100.0, 10),
+        ("s", 1 * M, 150.0, 14),
+        ("s", 2 * M, 120.0, 16),  # sum decreased: delta stays -30
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, s double, n long")
+    out = cumulative_to_delta(
+        df, ["k"], ts_col="ts", value_col="s", count_col="n",
+        retain_initial_value=True, out_col="d",
+    )
+    got = {r.ts // M: (r.d, r.d_count, r.is_initial) for r in out.collect()}
+    assert got == {
+        0: (100.0, 10, True),
+        1: (50.0, 4, False),
+        2: (-30.0, 2, False),
+    }
+
+
+def test_emf_detailed_quantile_fields(spark, sf_unit):
+    """detailed_metrics=True: summary docs gain {name}_{q} fields;
+    default mode emits none (reference-shape compatible)."""
+    import json
+
+    from rotel_spark.telemetry import emf_documents
+
+    events = spark.read.parquet(f"{sf_unit}/events.parquet")
+    detailed = (
+        emf_documents(events, detailed_metrics=True)
+        .filter(F.col("metric_type") == "summary")
+        .limit(3)
+        .collect()
+    )
+    for r in detailed:
+        doc = json.loads(r.emf_json)  # stays well-formed JSON
+        assert f"{r.metric_name}_0.5" in doc
+        assert f"{r.metric_name}_0.99" in doc
+        assert f"{r.metric_name}_count" in doc
+    default = (
+        emf_documents(events)
+        .filter(F.col("metric_type") == "summary")
+        .limit(3)
+        .collect()
+    )
+    for r in default:
+        doc = json.loads(r.emf_json)
+        assert f"{r.metric_name}_0.5" not in doc
+        assert f"{r.metric_name}_count" in doc
