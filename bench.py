@@ -151,17 +151,19 @@ def run_pipeline_bench(
     # this host's bursty noise corrupts single samples; the best pass
     # is the least-contaminated observation of plan cost)
     best_of = int(os.environ.get("ROTEL_BENCH_BEST_OF", "2"))
-    max_attempts = int(os.environ.get("ROTEL_BENCH_MAX_ATTEMPTS", "5"))
+    max_attempts = int(os.environ.get("ROTEL_BENCH_MAX_ATTEMPTS", "7"))
+    cert_ratio = float(os.environ.get("ROTEL_BENCH_CERT_RATIO", "1.5"))
     samples = []
     for i in range(max(1, best_of)):
         t0 = time.time()
         counts = run_once(f"{out_dir}/routed")
         samples.append(time.time() - t0)
     # self-certify (same rule as the query suite): two best samples
-    # within 2× of each other, else keep sampling up to the cap
+    # within the certification ratio (default 1.5 — the r4 2.0 bound
+    # let a 1.9× swing through), else keep sampling up to the cap
     while (
         len(samples) >= 2
-        and sorted(samples)[1] / max(min(samples), 1e-9) > 2.0
+        and sorted(samples)[1] / max(min(samples), 1e-9) > cert_ratio
         and len(samples) < max_attempts
     ):
         t0 = time.time()
@@ -251,14 +253,17 @@ def main() -> None:
         # r3 #6): this host shows bursty hypervisor CPU steal that
         # inflated BENCH_r02 per-query numbers 6-9× vs clean re-runs.
         # Per query: sample until the TWO BEST samples agree within
-        # 2× (two independent observations of the same plan cost
-        # certify each other), capped at ROTEL_BENCH_MAX_ATTEMPTS
-        # with per-query attempt provenance in the output. The
-        # recorded number is the best (least-contaminated) sample;
-        # the recorded variance is best2/best1 — ≤2.0 means
-        # certified, >2.0 lands the query in unstable_queries.
+        # ROTEL_BENCH_CERT_RATIO (default 1.5; r4's 2.0 bound let a
+        # 1.9× swing through) — two independent observations of the
+        # same plan cost certify each other — capped at
+        # ROTEL_BENCH_MAX_ATTEMPTS with per-query attempt provenance
+        # in the output. The recorded number is the best (least-
+        # contaminated) sample; the recorded variance is best2/best1
+        # — ≤ the ratio means certified, above it lands the query in
+        # unstable_queries.
         best_of = int(os.environ.get("ROTEL_BENCH_BEST_OF", "2"))
-        max_attempts = int(os.environ.get("ROTEL_BENCH_MAX_ATTEMPTS", "5"))
+        max_attempts = int(os.environ.get("ROTEL_BENCH_MAX_ATTEMPTS", "7"))
+        cert_ratio = float(os.environ.get("ROTEL_BENCH_CERT_RATIO", "1.5"))
 
         def sample_once(name: str) -> float:
             t0 = time.time()
@@ -275,7 +280,7 @@ def main() -> None:
         for name in headline:
             samples = [sample_once(name) for _ in range(max(2, best_of))]
             while (
-                best2_ratio(samples) > 2.0
+                best2_ratio(samples) > cert_ratio
                 and len(samples) < max_attempts
             ):
                 samples.append(sample_once(name))
@@ -284,7 +289,7 @@ def main() -> None:
             attempts[name] = len(samples)
 
         total = round(sum(timings.values()), 3)
-        unstable = sorted(k for k, v in variance.items() if v > 2.0)
+        unstable = sorted(k for k, v in variance.items() if v > cert_ratio)
         print(
             json.dumps(
                 {

@@ -42,6 +42,28 @@ Pre-registered rules
   every added executor brings its own socket. Both arms are
   reported; neither pool's samples are discarded.
 
+Round-5 amendment — FIXED POOL SIZE (pre-registered)
+----------------------------------------------------
+Committed BEFORE any round-5 sample exists (VERDICT r4 "What's wrong"
+#1: the r4 arm-A pool was topped up 8→11→14 after results were
+visible, which under a best-3 statistic is optional stopping and
+invalidated that headline). Round-5 rules, in addition to all rules
+above:
+
+* **Exactly REGISTERED_PAIRS = 8 pairs per arm**, collected
+  consecutively into BENCH/pairs_r5.jsonl (arm A, N=8) and
+  BENCH/pairs_r5_n2.jsonl (arm B, N=2). collect() refuses to append
+  beyond the cap — no top-up after results are visible, regardless
+  of outcome.
+* The statistic is unchanged (median of the 3 best pair
+  efficiencies) but is now computed over the FIXED 8-pair pool.
+* If collection is interrupted, it may be resumed to reach 8 pairs
+  (completing the registered sample size is not optional stopping;
+  stopping short or exceeding it would be). The headline is computed
+  once, after the pool is complete.
+* Round-4 pools (BENCH/pairs_r4*.jsonl) remain on disk for audit;
+  the r5 report reads ONLY the r5 pools.
+
 Usage:
   python scripts/scale_pairs.py collect <rounds> [samples.jsonl]
   python scripts/scale_pairs.py report   # reads both pools
@@ -60,8 +82,10 @@ import tempfile
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-SAMPLES_DEFAULT = REPO / "BENCH" / "pairs_r4.jsonl"
+SAMPLES_DEFAULT = REPO / "BENCH" / "pairs_r5.jsonl"
 N = int(os.environ.get("ROTEL_SCALE_N", "8"))
+# r5 pre-registered fixed pool size per arm (see docstring amendment)
+REGISTERED_PAIRS = 8
 
 
 def run_arm(cores: int, sink: str) -> dict:
@@ -103,6 +127,14 @@ def collect(rounds: int, out_path: pathlib.Path) -> None:
     if out_path.exists():
         pairs = {json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()}
         existing = max(pairs) + 1 if pairs else 0
+    # r5 pre-registered fixed pool: never append past REGISTERED_PAIRS
+    if existing + rounds > REGISTERED_PAIRS:
+        rounds = max(0, REGISTERED_PAIRS - existing)
+        print(
+            f"pool {out_path.name} capped at the pre-registered "
+            f"{REGISTERED_PAIRS} pairs ({existing} collected); "
+            f"running {rounds} more", flush=True,
+        )
     for r in range(rounds):
         pair_id = existing + r
         for sink in ("noop", "parquet"):
@@ -214,29 +246,34 @@ Per-sink routed-count parity across every pair and level:
 
 def report(_path: pathlib.Path = None) -> None:
     s8, md8 = arm_section(
-        8, REPO / "BENCH" / "pairs_r4.jsonl",
+        8, REPO / "BENCH" / "pairs_r5.jsonl",
         "Arm A: N=8 → 4N=32 (crosses the single-socket bandwidth wall)",
     )
     s2, md2 = arm_section(
-        2, REPO / "BENCH" / "pairs_r4_n2.jsonl",
+        2, REPO / "BENCH" / "pairs_r5_n2.jsonl",
         "Arm B: N=2 → 4N=8 (constant per-core bandwidth — the"
         " real-cluster scale-out regime)",
     )
     print(json.dumps({
-        "protocol": "pre-registered median of 3 best same-window pairs",
+        "protocol": "pre-registered median of 3 best same-window pairs"
+                    f" over a FIXED {REGISTERED_PAIRS}-pair pool",
         "arm_8_to_32": s8, "arm_2_to_8": s2,
     }))
     md = f"""# BENCH — scaling measurement (protocol in /root/repo/BASELINE.md)
 
-Round-4 **pre-registered** same-window pair protocol (rules committed
-in scripts/scale_pairs.py BEFORE each arm's collection; VERDICT r3
-item #2). A pair = one N-core arm immediately followed by one
-4N-core arm (back-to-back taskset-pinned JVMs, same materialized
-256-file input table). **Headline statistic = median of the 3 best
-pair efficiencies over all collected pairs of that arm** — every
-completed pair is listed; no post-hoc exclusion. Nothing else ran
-during collection. Two arms, both honoring the BASELINE.md ratio
-rule (it pins N→4N, with local[8]→local[32] as an example):
+Round-5 **pre-registered fixed-pool** same-window pair protocol
+(rules committed in scripts/scale_pairs.py BEFORE any r5 sample;
+VERDICT r4 "What's wrong" #1: the r4 arm-A pool was topped up after
+results were visible — optional stopping under a best-3 statistic —
+so r5 fixes the pool size in advance). A pair = one N-core arm
+immediately followed by one 4N-core arm (back-to-back taskset-pinned
+JVMs, same materialized 256-file input table). **Headline statistic
+= median of the 3 best pair efficiencies over the FIXED
+{REGISTERED_PAIRS}-pair pool of that arm** — every completed pair is
+listed; no post-hoc exclusion, no top-up. Round-4 pools remain in
+BENCH/pairs_r4*.jsonl for audit. Nothing else ran during collection.
+Two arms, both honoring the BASELINE.md ratio rule (it pins N→4N,
+with local[8]→local[32] as an example):
 
 * **Arm A (8→32)** crosses this host's single-socket aggregate
   memory-bandwidth wall (per-core scan ceiling 35k → 21.5k rec/s/core
@@ -256,25 +293,18 @@ A pair efficiency **above 1.0 is physically impossible** for true
 scaling — it means the N-core arm of that pair was quota-throttled
 while the 4N-core arm ran full-width. Such pairs stay in the pool
 (pre-registration forbids post-hoc exclusion) and the median keeps a
-single >1 outlier from deciding the headline, but the physically
+single >1 outlier from deciding the headline; the physically
 meaningful observations are the pairs whose per-core rates match the
-known full-width ceilings (~30-35k rec/s/core — e.g. arm A pair 7
-compute 0.863 at 29.4k/core vs 25.4k/core, arm B pair 5 at
-32.2k/core vs 29.6k/core). Those clean full-width pairs land at
-0.85-0.92 on both arms, consistent with the r3 CPU-probe bound
-(0.81/core at 8→32 from SMT alone). The round's highest-absolute
-observation (arm A pair 13: 314k rps at 8c = 39.2k/core full turbo,
-916k rps at 32c = 28.6k/core — both record rates) gives the true
-physical 8→32 compute ratio on this silicon: 0.73, i.e. the SMT ×
-single-socket-bandwidth product, which a multi-node cluster does not
-pay. The same full-width windows cap 32c E2E at ~190-250k rps
-regardless of CPU — the one shared local disk is the binding
-constraint (arm A E2E headline 0.737), which is exactly why arm B
-(2→8, constant per-core disk+bandwidth share) is the regime that
-transfers: compute 0.919 / E2E 0.91. One arm of one pair in this
-round overlapped a stray ~2-min test JVM (foreground mistake,
-logged); contention can only depress a sample, never inflate the
-headline.
+known full-width ceilings (~30-35k rec/s/core at ≤8c). Prior-round
+controlled evidence (r3 probes, r4 record-rate pair): the true
+physical 8→32 compute ratio on this silicon is ~0.73 — the SMT ×
+single-socket-bandwidth product, a term a multi-node cluster does
+not pay because every added executor brings its own socket — and
+full-width windows cap 32c E2E at ~190-250k rps on the one shared
+local disk regardless of CPU. That is exactly why arm B (2→8,
+constant per-core disk+bandwidth share) is the regime that transfers
+to a real cluster; arm A is reported for completeness with those
+host-physics terms attached.
 
 ## Host-noise terms (r3 controlled evidence, unchanged)
 
