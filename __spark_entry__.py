@@ -33,6 +33,7 @@ from rotel_spark.operators.attributes import apply_actions
 from rotel_spark.operators.dedup import simhash_oracle_ctes
 from rotel_spark.operators.filters import drop_unparsed, mod_sample
 from rotel_spark.operators.multimodal import multimodal_oracle_sql
+from rotel_spark.operators.quality import repetition_oracle_sql
 from rotel_spark.operators.similarity import near_dup_oracle_sql
 from rotel_spark.operators.redaction import redact
 from rotel_spark.operators.resource import upsert_resource_attributes
@@ -1779,6 +1780,49 @@ def q_emf_delta_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return num_out.unionByName(sum_out)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (type-token ratio,
+    top-bigram fraction, duplicate-trigram fraction) + keep flag —
+    training-data quality gate over the documents table. Explode +
+    two partial-agg groupBys per gram stream: linear at 100 TB, no
+    per-row O(n²) mode computation."""
+    from rotel_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → per-host dedup-collapse stats. Raw
+    variants (tracking params, unsorted query, fragment, www.,
+    trailing slash) are derived deterministically per page so the
+    oracle can rebuild them; canonicalization must collapse the
+    variant classes identically in both engines (sorted non-tracking
+    params survive)."""
+    from rotel_spark.functions.urls import canonicalize_url
+
+    pages = _pages(spark, sf_dir)
+    base = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("."), F.col("tld"),
+        F.lit("/page/"), (F.col("doc_id") % 50).cast("string"),
+    )
+    v = F.col("page_id") % 5
+    raw = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("?utm_source=feed&utm_medium=mail")))
+        .when(v == 2, F.concat(base, F.lit("?b=2&a=1#frag")))
+        .when(v == 3, F.regexp_replace(base, r"^https://", "https://www."))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    df = pages.select(
+        "host", raw.alias("raw_url")
+    ).withColumn("canonical_url", canonicalize_url(F.col("raw_url")))
+    return df.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct("raw_url").alias("n_raw_forms"),
+        F.count_distinct("canonical_url").alias("n_canonical"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1844,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_rows_json": q_clickhouse_rows_json,
         "emf_document_detailed": q_emf_document_detailed,
         "emf_delta_conversion": q_emf_delta_conversion,
+        "repetition_signals": q_repetition_signals,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 
 
@@ -2250,6 +2296,54 @@ SELECT 'summary', service, event_type,
        CAST(CASE WHEN first THEN c_n ELSE c_n - p_n END AS BIGINT),
        CAST(CASE WHEN first THEN 1 ELSE 0 END AS INTEGER)
 FROM flagged
+""",
+        "repetition_signals": repetition_oracle_sql("documents"),
+        "url_canonical_dedup": f"""
+WITH {PAGES},
+adorned AS (
+  SELECT host,
+    'https://' || host || '.' || tld || '/page/'
+      || CAST(doc_id % 50 AS STRING) AS b,
+    CAST(page_id % 5 AS INT) AS v
+  FROM pages),
+raw AS (
+  SELECT host,
+    CASE v
+      WHEN 0 THEN b
+      WHEN 1 THEN b || '?utm_source=feed&utm_medium=mail'
+      WHEN 2 THEN b || '?b=2&a=1#frag'
+      WHEN 3 THEN replace(b, 'https://', 'https://www.')
+      ELSE b || '/' END AS raw_url
+  FROM adorned),
+canon AS (
+  SELECT host, raw_url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                         '\\?.*$', ''),
+          '^(https?://[^/:]+):(443|80)(/|$)', '\\1\\3'),
+        '^(https?://)www\\.', '\\1'),
+      '/+$', '') AS head,
+    coalesce(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                            '\\?(.*)$', 1), '') AS q
+  FROM raw),
+canon2 AS (
+  SELECT host, raw_url,
+    coalesce(array_to_string(
+      list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT (starts_with(x, 'utm_')
+             OR starts_with(x, 'fbclid')
+             OR starts_with(x, 'gclid')))), '&'), '') AS qs,
+    head
+  FROM canon)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+  CAST(count(DISTINCT CASE WHEN qs = '' THEN head
+                           ELSE head || '?' || qs END) AS BIGINT)
+    AS n_canonical
+FROM canon2 GROUP BY host
 """,
         "minhash_dedup": f"""
 WITH {_shingles_cte("documents", "doc_id", "text")},

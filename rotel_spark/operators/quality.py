@@ -1,0 +1,158 @@
+"""Gopher-style repetition / quality signals over a document table.
+
+Training-data-pipeline operator (task brief: text quality scoring is a
+first-class component next to the SURVEY §2 grid; the reference's
+analog is its per-record quality gating in processors — drop/sample
+filters — applied here to web text instead of log lines).
+
+Signals (Rae et al. 2021, "Scaling Language Models" §A1.1, public):
+  * type-token ratio (distinct words / words)
+  * top-bigram fraction  (occurrences of the most frequent bigram /
+    all bigram occurrences)
+  * duplicate-trigram fraction (occurrences of trigrams seen more
+    than once / all trigram occurrences)
+
+Scale design (100 TB): the naive per-row mode computation is O(n²) in
+document length inside one task — instead each n-gram stream is
+EXPLODED and counted with two partial-aggregating groupBys keyed by
+(doc_id, gram) then doc_id, so work is linear and map-side combined;
+the final assembly is three shuffles all keyed by doc_id which AQE
+coalesces. No Python in the path — split/slice/zip_with/explode are
+all JVM expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# keep-thresholds (Gopher-inspired, fitted to the synthetic corpus so
+# both classes exist at every sf — the VALUES are config, the
+# comparison pipeline is the operator)
+MIN_TTR = 0.35
+MAX_TOP_BIGRAM_FRAC = 0.05
+MAX_DUP_TRIGRAM_FRAC = 0.10
+
+
+def _gram_array_expr(n: int) -> str:
+    """SQL expression producing the n-gram array of token array `t`
+    via aligned slices + zip_with (no sequence(): sequence(0, -1)
+    produces a DESCENDING range on short docs, a silent wrong-answer
+    trap)."""
+    width = f"greatest(size(t) - {n - 1}, 0)"
+    out = f"slice(t, 1, {width})"
+    for k in range(2, n + 1):
+        out = (
+            f"zip_with({out}, slice(t, {k}, {width}),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    return out
+
+
+def _gram_stats(toks: DataFrame, n: int, prefix: str) -> DataFrame:
+    """Per-doc top-gram and duplicate-gram fractions for n-grams."""
+    grams = toks.select(
+        "doc_id", F.explode(F.expr(_gram_array_expr(n))).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias(f"top_{prefix}_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias(f"dup_{prefix}_frac"),
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, ttr, top_bigram_frac, dup_trigram_frac, keep.
+
+    Documents too short to have any n-gram (n_tokens < n) get 0.0 for
+    that signal (left join + coalesce), not a dropped row.
+    """
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("t")) / F.size("t"), 6).alias("ttr"),
+    )
+    big = _gram_stats(toks, 2, "bigram").drop("dup_bigram_frac")
+    tri = _gram_stats(toks, 3, "trigram").drop("top_trigram_frac")
+    out = (
+        base.join(big, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("ttr") >= MIN_TTR)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        & (F.col("dup_trigram_frac") <= MAX_DUP_TRIGRAM_FRAC),
+    )
+
+
+def repetition_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin — independent derivation: window lead() builds the
+    gram streams instead of slice/zip_with, so a value match checks
+    the semantics, not the transcription."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM {table}
+),
+seq AS (
+  SELECT doc_id, tok, i,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+  FROM toks
+),
+bc AS (
+  SELECT doc_id, tok || ' ' || t1 AS g, count(*) AS c
+  FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id,
+         round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+  FROM bc GROUP BY 1
+),
+tc AS (
+  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+  FROM seq WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+ts AS (
+  SELECT doc_id,
+         round(coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE
+               / sum(c), 6) AS dup_trigram_frac
+  FROM tc GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS ttr
+  FROM {table}
+)
+SELECT base.doc_id, n_tokens, ttr,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac,
+       (ttr >= {MIN_TTR}
+        AND coalesce(top_bigram_frac, 0.0) <= {MAX_TOP_BIGRAM_FRAC}
+        AND coalesce(dup_trigram_frac, 0.0) <= {MAX_DUP_TRIGRAM_FRAC})
+         AS keep
+FROM base
+LEFT JOIN bs USING (doc_id)
+LEFT JOIN ts USING (doc_id)
+"""

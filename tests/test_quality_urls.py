@@ -1,0 +1,91 @@
+"""Unit edge cases for URL canonicalization and repetition signals —
+the oracle-parity tests cover the aggregate shapes; these pin the
+per-value semantics on hand-written inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rotel_spark.functions.urls import canonicalize_url
+from rotel_spark.operators.quality import repetition_signals
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    return [r["c"] for r in rows]
+
+
+def test_canonicalize_variant_classes_collapse(spark):
+    variants = [
+        "https://example.com/page/1",
+        "https://example.com/page/1?utm_source=feed&utm_medium=mail",
+        "https://example.com/page/1#section-2",
+        "https://www.example.com/page/1",
+        "https://example.com/page/1/",
+        "https://example.com:443/page/1",
+    ]
+    out = set(_canon(spark, variants))
+    assert out == {"https://example.com/page/1"}
+
+
+def test_canonicalize_sorts_and_keeps_real_params(spark):
+    got = _canon(
+        spark,
+        [
+            "http://a.io/x?b=2&a=1",
+            "http://a.io/x?a=1&b=2&fbclid=XYZ",
+            "http://a.io:80/x?a=1&gclid=Q&b=2#frag",
+        ],
+    )
+    assert got == ["http://a.io/x?a=1&b=2"] * 3
+
+
+def test_canonicalize_distinct_pages_stay_distinct(spark):
+    got = _canon(
+        spark,
+        [
+            "https://a.io/x?page=2",  # non-tracking param survives
+            "https://a.io/x",
+            "https://b.io/x",
+            "https://a.io/y",
+            "https://a.io:8080/x",  # non-default port survives
+        ],
+    )
+    assert len(set(got)) == 5
+    assert "https://a.io/x?page=2" in got
+    assert "https://a.io:8080/x" in got
+
+
+def test_repetition_signals_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8 tokens, all distinct: ttr=1, every bigram/trigram unique
+            (1, "a b c d e f g h"),
+            # pathological repetition: "x y x y x y" -> ttr 2/6,
+            # bigrams: [x y, y x, x y, y x, x y] -> top 3/5, dup 5/5
+            (2, "x y x y x y"),
+            # too short for trigrams
+            (3, "p q"),
+            # single token: no bigrams at all
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["ttr"] == 1.0
+    assert rows[1]["top_bigram_frac"] == round(1 / 7, 6)
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[1]["keep"] is False  # top-bigram 1/7 > 0.05 on tiny doc
+
+    assert rows[2]["ttr"] == round(2 / 6, 6)
+    assert rows[2]["top_bigram_frac"] == 0.6
+    assert rows[2]["dup_trigram_frac"] == 1.0
+    assert rows[2]["keep"] is False
+
+    # short docs get 0.0 fractions, not dropped rows / nulls
+    assert rows[3]["dup_trigram_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 1.0  # single bigram 'p q' is the mode
+    assert rows[4]["top_bigram_frac"] == 0.0
+    assert rows[4]["dup_trigram_frac"] == 0.0
+    assert rows[4]["n_tokens"] == 1
