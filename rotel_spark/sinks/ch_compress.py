@@ -194,8 +194,12 @@ def _city_hash_128_with_seed(
         v0, v1 = weak_hash32(s, n - tail_done, v0, v1)
     x = _hash_len_16(x, v0)
     y = _hash_len_16(y, w0)
+    # v1.0.2 uses w0 (w.first) in the low-half combine; v1.1 changed it
+    # to w.second and mixed +z into y — confirmed by the cross-language
+    # vector run in scripts/cityhash_vectors/ (gen_vectors.py): the r4
+    # code had w1 here, a v1.1 term, caught by the C transcription.
     return (
-        (_hash_len_16((x + v1) & MASK64, w1) + y) & MASK64,
+        (_hash_len_16((x + v1) & MASK64, w0) + y) & MASK64,
         _hash_len_16((x + w1) & MASK64, (y + v1) & MASK64),
     )
 

@@ -1,0 +1,100 @@
+"""Generate and cross-validate CityHash v1.0.2 vectors for the
+ClickHouse frame checksum (>=128B path) — VERDICT r4 item #2.
+
+Three independent implementations are compared:
+  A. scripts/cityhash_vectors/city102.c  (C transcription, this dir)
+  B. rotel_spark.sinks.ch_compress       (the shipped Python codec)
+  C. /lib/x86_64-linux-gnu/libabsl_city.so.20220623 — Abseil's
+     independently-authored-and-built CityHash64 (pre-v1.1,
+     hash-stable with v1.0.2).  C only covers CityHash64, but the
+     >=128B CityHash128 path is built from the SAME primitives
+     (Fetch64/32, Rotate, HashLen16, HashLen0to16/17to32/33to64,
+     WeakHashLen32WithSeeds, k0..k3, the 64-byte inner loop), so a
+     byte-exact CityHash64 match across lengths 0..2048 pins all of
+     them against truly foreign code.
+
+Outputs scripts/cityhash_vectors/vectors.txt: "len hash64 lo hi" per
+line for the deterministic corpus buf[i] = (i*131 + L*17 + 7) & 0xff.
+tests/test_ch_compress.py embeds a >=128B subset of these.
+
+Run: python scripts/cityhash_vectors/gen_vectors.py
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+REPO = HERE.parent.parent
+sys.path.insert(0, str(REPO))
+
+from rotel_spark.sinks.ch_compress import city_hash_128  # noqa: E402
+
+ABSL_SO = "/lib/x86_64-linux-gnu/libabsl_city.so.20220623"
+# mangled: absl::debian3::hash_internal::CityHash64(char const*, unsigned long)
+ABSL_SYM = "_ZN4absl7debian313hash_internal10CityHash64EPKcm"
+
+MAXLEN = 4096
+ABSL_MAXLEN = 2048
+
+
+def corpus(length: int) -> bytes:
+    return bytes((i * 131 + length * 17 + 7) & 0xFF for i in range(length))
+
+
+def main() -> int:
+    exe = HERE / "city102"
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), str(HERE / "city102.c")], check=True
+    )
+    out = subprocess.run(
+        [str(exe), str(MAXLEN)], check=True, capture_output=True, text=True
+    ).stdout
+    rows = []
+    for line in out.strip().splitlines():
+        ls, h64, lo, hi, h11 = line.split()
+        rows.append(
+            (int(ls), int(h64, 16), int(lo, 16), int(hi, 16), int(h11, 16))
+        )
+    assert len(rows) == MAXLEN + 1
+
+    # --- transcription-process validator: v1.1 CityHash64 vs the
+    # foreign absl binary (absl vendored CityHash v1.1) ---
+    absl = ctypes.CDLL(ABSL_SO)
+    fn = getattr(absl, ABSL_SYM)
+    fn.restype = ctypes.c_uint64
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    mismatch64 = 0
+    for L, _, _, _, h11 in rows[: ABSL_MAXLEN + 1]:
+        got = fn(corpus(L), L)
+        if got != h11:
+            mismatch64 += 1
+            if mismatch64 < 5:
+                print(f"ABSL MISMATCH len={L}: c={h11:016x} absl={got:016x}")
+    print(f"v1.1 CityHash64 vs libabsl_city: {ABSL_MAXLEN + 1 - mismatch64}/"
+          f"{ABSL_MAXLEN + 1} match")
+
+    # --- C vs Python (ch_compress), v1.0.2 CityHash128 ---
+    mismatch128 = 0
+    for L, _, lo, hi, _ in rows:
+        plo, phi = city_hash_128(corpus(L))
+        if (plo, phi) != (lo, hi):
+            mismatch128 += 1
+            if mismatch128 < 5:
+                print(f"PY MISMATCH len={L}: c=({lo:016x},{hi:016x}) "
+                      f"py=({plo:016x},{phi:016x})")
+    print(f"CityHash128 C vs Python: {MAXLEN + 1 - mismatch128}/"
+          f"{MAXLEN + 1} match")
+
+    if mismatch64 or mismatch128:
+        return 1
+    (HERE / "vectors.txt").write_text(out)
+    print(f"wrote {HERE / 'vectors.txt'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
