@@ -33,6 +33,10 @@ from rotel_spark.operators.attributes import apply_actions
 from rotel_spark.operators.dedup import simhash_oracle_ctes
 from rotel_spark.operators.filters import drop_unparsed, mod_sample
 from rotel_spark.operators.multimodal import multimodal_oracle_sql
+from rotel_spark.operators.chunking import (
+    block_dedup_oracle_sql,
+    doc_chunks_oracle_sql,
+)
 from rotel_spark.operators.quality import repetition_oracle_sql
 from rotel_spark.operators.similarity import near_dup_oracle_sql
 from rotel_spark.operators.redaction import redact
@@ -1823,6 +1827,26 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style duplicated-span removal: 16-token blocks,
+    keep only the globally first occurrence of each block text
+    (ordered by (doc_id, block_idx)), emit per-doc removal stats +
+    cleaned text. Explode → argmin groupBy → rejoin; narrow shuffle
+    rows, linear at 100 TB."""
+    from rotel_spark.operators.chunking import block_dedup
+
+    return block_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size training windows (32 tokens, stride 24) per doc —
+    the dataloader shape. No shuffle: chunk rows stay in their input
+    partition."""
+    from rotel_spark.operators.chunking import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1890,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emf_delta_conversion": q_emf_delta_conversion,
         "repetition_signals": q_repetition_signals,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "block_dedup": q_block_dedup,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2298,6 +2324,8 @@ SELECT 'summary', service, event_type,
 FROM flagged
 """,
         "repetition_signals": repetition_oracle_sql("documents"),
+        "block_dedup": block_dedup_oracle_sql("documents"),
+        "doc_chunks": doc_chunks_oracle_sql("documents"),
         "url_canonical_dedup": f"""
 WITH {PAGES},
 adorned AS (
