@@ -37,7 +37,10 @@ from rotel_spark.operators.chunking import (
     block_dedup_oracle_sql,
     doc_chunks_oracle_sql,
 )
-from rotel_spark.operators.quality import repetition_oracle_sql
+from rotel_spark.operators.quality import (
+    repetition_oracle_sql,
+    unigram_logprob_oracle_sql,
+)
 from rotel_spark.operators.similarity import near_dup_oracle_sql
 from rotel_spark.operators.redaction import redact
 from rotel_spark.operators.resource import upsert_resource_attributes
@@ -1847,6 +1850,47 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency proxy: average negative log unigram
+    probability under the corpus's own top-K vocabulary (distributed
+    TakeOrdered top-K + broadcast join; OOV falls back to count 1)."""
+    from rotel_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build: repetition quality gate →
+    duplicated-span removal → training-window chunking → per-language
+    corpus stats. Shows the training-data operators compose into one
+    declarative DAG Catalyst can optimize across — every stage is JVM
+    expressions, all shuffles keyed by doc_id except block_dedup's
+    narrow argmin."""
+    from rotel_spark.operators.chunking import block_dedup, doc_chunks
+    from rotel_spark.operators.quality import repetition_signals
+
+    docs = _docs(spark, sf_dir)
+    sig = repetition_signals(docs).select("doc_id", "keep")
+    clean = block_dedup(docs).select("doc_id", "clean_text")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(sig, "doc_id")
+        .join(clean, "doc_id")
+        .where(F.col("keep") & (F.col("clean_text") != ""))
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    chunks = doc_chunks(kept)
+    return (
+        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1916,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "block_dedup": q_block_dedup,
         "doc_chunks": q_doc_chunks,
+        "corpus_build": q_corpus_build,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -2326,6 +2372,24 @@ FROM flagged
         "repetition_signals": repetition_oracle_sql("documents"),
         "block_dedup": block_dedup_oracle_sql("documents"),
         "doc_chunks": doc_chunks_oracle_sql("documents"),
+        "unigram_logprob": unigram_logprob_oracle_sql("documents"),
+        "corpus_build": f"""
+WITH sig AS (SELECT doc_id, keep FROM ({repetition_oracle_sql("documents")})),
+clean AS (
+  SELECT doc_id, clean_text FROM ({block_dedup_oracle_sql("documents")})),
+kept AS (
+  SELECT d.doc_id, d.lang, clean.clean_text AS text
+  FROM documents d
+  JOIN sig USING (doc_id) JOIN clean USING (doc_id)
+  WHERE sig.keep AND clean.clean_text <> ''),
+ch AS (SELECT doc_id, n_tokens FROM ({doc_chunks_oracle_sql("kept")}))
+SELECT kept.lang,
+       CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(ch.n_tokens) AS BIGINT) AS n_tokens
+FROM ch JOIN kept USING (doc_id)
+GROUP BY kept.lang
+""",
         "url_canonical_dedup": f"""
 WITH {PAGES},
 adorned AS (

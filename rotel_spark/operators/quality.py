@@ -102,6 +102,62 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
 
 
+K_VOCAB = 32  # top-K unigram vocabulary (OOV fallback below)
+
+
+def unigram_logprob(docs: DataFrame, k_vocab: int = K_VOCAB) -> DataFrame:
+    """doc_id, n_tokens, avg_nll — CCNet-style fluency proxy: average
+    negative log unigram probability under the corpus's own top-K
+    vocabulary; out-of-vocabulary tokens fall back to count 1.
+
+    Scale design (100 TB): the vocabulary is a distributed top-K
+    (orderBy(count desc, token asc).limit(k) → TakeOrderedAndProject,
+    deterministic tie-break, never a single-partition sort of the
+    full distinct-token set), broadcast back against the token
+    stream; the total-token scalar rides a one-row broadcast join.
+    nll is computed as ln(total) - ln(count) identically in the
+    oracle so both engines run the same float ops.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(k_vocab)
+    total = counts.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log("total") - F.log(F.coalesce(F.col("c"), F.lit(1))))
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of unigram_logprob."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {K_VOCAB}
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(avg(ln(total) - ln(coalesce(vocab.c, 1))), 6) AS avg_nll
+FROM toks LEFT JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def repetition_oracle_sql(table: str = "documents") -> str:
     """DuckDB twin — independent derivation: window lead() builds the
     gram streams instead of slice/zip_with, so a value match checks

@@ -26,6 +26,41 @@ class AwsCreds:
     secret_access_key: str
     session_token: str | None = None
 
+    @classmethod
+    def from_env(cls) -> "AwsCreds":
+        """creds.rs:49-57 — env provider: empty strings (not errors)
+        for missing keys, None for a missing session token."""
+        import os
+
+        return cls(
+            access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", ""),
+            secret_access_key=os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
+            session_token=os.environ.get("AWS_SESSION_TOKEN") or None,
+        )
+
+
+class AwsCredsError(ValueError):
+    """creds.rs:61-70 — NoProvider / NoRegion / ProviderError."""
+
+
+def resolve_region(default: str | None = None) -> str:
+    """creds.rs:129-140 region chain: AWS_REGION beats
+    AWS_DEFAULT_REGION beats the caller default; no region → the
+    reference's NoRegion error text."""
+    import os
+
+    region = (
+        os.environ.get("AWS_REGION")
+        or os.environ.get("AWS_DEFAULT_REGION")
+        or default
+    )
+    if not region:
+        raise AwsCredsError(
+            "Unable to identify the AWS region, try setting "
+            "AWS_DEFAULT_REGION"
+        )
+    return region
+
 
 def _hmac256(key: bytes, message: bytes) -> bytes:
     return hmac.new(key, message, hashlib.sha256).digest()

@@ -122,6 +122,31 @@ def main() -> int:
             "per group) then mapInPandas decode; aggregates JVM "
             "partial/final.",
         ),
+        (
+            "block_dedup",
+            "expect: generate/explode of JVM block expressions, one "
+            "Exchange on block text for the argmin, one on doc_id "
+            "for the rollup — shuffle rows are (block, ord) pairs, "
+            "never full documents; no Python anywhere.",
+        ),
+        (
+            "doc_chunks",
+            "expect: NO Exchange at all — posexplode rides the scan "
+            "partition-locally; whole-stage codegen end to end.",
+        ),
+        (
+            "repetition_signals",
+            "expect: per-gram explode + two HashAggregate "
+            "partial/final pairs per stream, all Exchanges keyed by "
+            "doc_id (AQE-coalesced); no O(n^2) per-row mode "
+            "computation, no Python.",
+        ),
+        (
+            "url_canonical_dedup",
+            "expect: canonicalization is pure regexp/array "
+            "expressions inside WholeStageCodegen riding the scan; "
+            "single Exchange for the per-host count-distinct agg.",
+        ),
     ]:
         sections.append((name, explain_str(qs[name](spark, sf)), note))
 

@@ -1,0 +1,45 @@
+"""One-shot verification batch for the inter-arm gap (round 5):
+Spark-vs-DuckDB parity for the queries added this round, at sf0.001
+and sf0.01, in a single Spark session. Exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as em  # noqa: E402
+from rotel_spark.session import build_spark  # noqa: E402
+from tests.harness import compare  # noqa: E402
+
+NEW = [
+    "repetition_signals",
+    "url_canonical_dedup",
+    "block_dedup",
+    "doc_chunks",
+    "unigram_logprob",
+    "corpus_build",
+]
+
+
+def main() -> int:
+    spark = build_spark(master="local[8]", shuffle_partitions=8)
+    bad = 0
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in NEW:
+            r = compare(spark, sf, em.queries()[name], em.oracle_sql()[name])
+            ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
+            print(
+                f"{name:22s} {sf.rsplit('/', 1)[-1]:8s} "
+                f"{'OK' if ok else 'FAIL ' + str(r)} "
+                f"rows={r['spark_rows']}",
+                flush=True,
+            )
+            bad += 0 if ok else 1
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -136,3 +136,39 @@ class TestHostname:
         for h in ("invalid-hostname.com", "not.amazonaws.com",
                   "service.amazonaws.com"):
             assert parse_aws_hostname(h) is None
+
+
+class TestCredsChain:
+    def test_from_env_missing_is_empty_not_error(self, monkeypatch):
+        for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                  "AWS_SESSION_TOKEN"):
+            monkeypatch.delenv(k, raising=False)
+        from rotel_spark.sinks.aws_auth import AwsCreds
+
+        c = AwsCreds.from_env()
+        assert c.access_key_id == ""
+        assert c.secret_access_key == ""
+        assert c.session_token is None
+
+    def test_from_env_reads_triple(self, monkeypatch):
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKID")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK")
+        monkeypatch.setenv("AWS_SESSION_TOKEN", "TOK")
+        from rotel_spark.sinks.aws_auth import AwsCreds
+
+        c = AwsCreds.from_env()
+        assert (c.access_key_id, c.secret_access_key, c.session_token) == (
+            "AKID", "SK", "TOK")
+
+    def test_region_chain_precedence(self, monkeypatch):
+        from rotel_spark.sinks.aws_auth import AwsCredsError, resolve_region
+
+        monkeypatch.setenv("AWS_REGION", "eu-west-1")
+        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-2")
+        assert resolve_region() == "eu-west-1"
+        monkeypatch.delenv("AWS_REGION")
+        assert resolve_region() == "us-east-2"
+        monkeypatch.delenv("AWS_DEFAULT_REGION")
+        assert resolve_region(default="ap-south-1") == "ap-south-1"
+        with pytest.raises(AwsCredsError, match="AWS_DEFAULT_REGION"):
+            resolve_region()

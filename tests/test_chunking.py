@@ -1,0 +1,88 @@
+"""Per-value semantics for block_dedup / doc_chunks on hand-written
+docs; the oracle-parity tests cover the aggregate shapes."""
+
+from __future__ import annotations
+
+from rotel_spark.operators.chunking import BLOCK, CHUNK, STRIDE, block_dedup, doc_chunks
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_block_dedup_cross_doc_keep_first(spark):
+    shared = _words("s", BLOCK)  # one exact block
+    docs = _mk(
+        spark,
+        [
+            (1, shared + " " + _words("a", BLOCK)),
+            (2, shared + " " + _words("b", BLOCK)),  # block 0 is a dup of doc 1's
+        ],
+    )
+    rows = {r["doc_id"]: r for r in block_dedup(docs).collect()}
+    assert rows[1]["n_dup_blocks"] == 0
+    assert rows[1]["clean_text"] == shared + " " + _words("a", BLOCK)
+    assert rows[2]["n_dup_blocks"] == 1
+    assert rows[2]["dup_frac"] == 0.5
+    assert rows[2]["clean_text"] == _words("b", BLOCK)
+
+
+def test_block_dedup_intra_doc_repeat_removed(spark):
+    blk = _words("x", BLOCK)
+    docs = _mk(spark, [(7, blk + " " + blk + " " + blk)])
+    row = block_dedup(docs).collect()[0]
+    assert row["n_blocks"] == 3
+    assert row["n_dup_blocks"] == 2
+    assert row["clean_text"] == blk
+
+
+def test_block_dedup_short_doc_single_partial_block(spark):
+    docs = _mk(spark, [(1, "only three words")])
+    row = block_dedup(docs).collect()[0]
+    assert row["n_blocks"] == 1
+    assert row["n_dup_blocks"] == 0
+    assert row["clean_text"] == "only three words"
+
+
+def test_block_dedup_fully_removed_doc_still_emits(spark):
+    blk = _words("z", BLOCK)
+    docs = _mk(spark, [(1, blk), (2, blk)])
+    rows = {r["doc_id"]: r for r in block_dedup(docs).collect()}
+    assert rows[2]["n_dup_blocks"] == 1
+    assert rows[2]["clean_text"] == ""
+    assert rows[1]["clean_text"] == blk
+
+
+def test_doc_chunks_short_doc_one_window(spark):
+    docs = _mk(spark, [(1, _words("w", CHUNK - 5))])
+    rows = doc_chunks(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0
+    assert rows[0]["n_tokens"] == CHUNK - 5
+
+
+def test_doc_chunks_stride_overlap_and_tail(spark):
+    n = CHUNK + STRIDE + 3  # 3 windows: 0, STRIDE, 2*STRIDE (short tail)
+    words = [f"w{i}" for i in range(n)]
+    docs = _mk(spark, [(1, " ".join(words))])
+    rows = sorted(doc_chunks(docs).collect(), key=lambda r: r["chunk_idx"])
+    assert len(rows) == 3
+    assert rows[0]["chunk_text"].split(" ") == words[:CHUNK]
+    assert rows[1]["chunk_text"].split(" ") == words[STRIDE : STRIDE + CHUNK]
+    assert rows[2]["chunk_text"].split(" ") == words[2 * STRIDE :]
+    assert rows[2]["n_tokens"] == n - 2 * STRIDE
+    # consecutive windows overlap by CHUNK - STRIDE tokens
+    assert rows[0]["chunk_text"].split(" ")[STRIDE:] == rows[1][
+        "chunk_text"
+    ].split(" ")[: CHUNK - STRIDE]
+
+
+def test_doc_chunks_exact_boundary_no_empty_tail(spark):
+    docs = _mk(spark, [(1, _words("w", CHUNK))])
+    rows = doc_chunks(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == CHUNK

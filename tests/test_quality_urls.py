@@ -6,8 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import math
+
 from rotel_spark.functions.urls import canonicalize_url
-from rotel_spark.operators.quality import repetition_signals
+from rotel_spark.operators.quality import repetition_signals, unigram_logprob
 
 
 def _canon(spark, urls: list[str]) -> list[str]:
@@ -89,3 +91,29 @@ def test_repetition_signals_values(spark):
     assert rows[4]["top_bigram_frac"] == 0.0
     assert rows[4]["dup_trigram_frac"] == 0.0
     assert rows[4]["n_tokens"] == 1
+
+
+def test_unigram_logprob_vocab_and_oov(spark):
+    # corpus: 'a' x6, 'b' x3, 'c' x1  (total 10); k_vocab=2 -> vocab
+    # {a:6, b:3}; 'c' is OOV -> fallback count 1
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b b c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs, k_vocab=2).collect()}
+    ln = math.log
+    t = ln(10)
+    d1 = (3 * (t - ln(6)) + (t - ln(3))) / 4
+    d2 = (3 * (t - ln(6)) + 2 * (t - ln(3)) + (t - ln(1))) / 6
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["avg_nll"] == round(d1, 6)
+    assert rows[2]["avg_nll"] == round(d2, 6)
+
+
+def test_unigram_logprob_tie_break_deterministic(spark):
+    # 'x' and 'y' tie on count; k_vocab=1 must pick 'x' (tok ASC)
+    docs = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    row = unigram_logprob(docs, k_vocab=1).collect()[0]
+    t = math.log(4)
+    # x in vocab (c=2), y OOV (c_eff=1)
+    expect = (2 * (t - math.log(2)) + 2 * (t - math.log(1))) / 4
+    assert row["avg_nll"] == round(expect, 6)
