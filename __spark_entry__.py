@@ -37,6 +37,10 @@ from rotel_spark.operators.chunking import (
     block_dedup_oracle_sql,
     doc_chunks_oracle_sql,
 )
+from rotel_spark.operators.packing import (
+    decontaminate_oracle_sql,
+    pack_sequences_oracle_sql,
+)
 from rotel_spark.operators.quality import (
     repetition_oracle_sql,
     unigram_logprob_oracle_sql,
@@ -1891,6 +1895,29 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-pack training windows into fixed-capacity token
+    bins across deterministic shards (per-shard window cumsum — the
+    sort is per-shard, never global)."""
+    from rotel_spark.operators.chunking import doc_chunks
+    from rotel_spark.operators.packing import pack_sequences
+
+    return pack_sequences(doc_chunks(_docs(spark, sf_dir)))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 13-gram decontamination: docs vs a deterministic
+    held-out 'benchmark' slice (doc_id % 97 == 0); benchmark shingle
+    set is broadcast, the document side never shuffles."""
+    from rotel_spark.operators.packing import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_route_counts(spark, "/root/testdata/sf0.001")
@@ -1962,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_build": q_corpus_build,
         "unigram_logprob": q_unigram_logprob,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2373,6 +2402,13 @@ FROM flagged
         "block_dedup": block_dedup_oracle_sql("documents"),
         "doc_chunks": doc_chunks_oracle_sql("documents"),
         "unigram_logprob": unigram_logprob_oracle_sql("documents"),
+        "pack_sequences": pack_sequences_oracle_sql(
+            doc_chunks_oracle_sql("documents")
+        ),
+        "decontaminate": decontaminate_oracle_sql(
+            "(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
+            "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        ),
         "corpus_build": f"""
 WITH sig AS (SELECT doc_id, keep FROM ({repetition_oracle_sql("documents")})),
 clean AS (

@@ -1,0 +1,224 @@
+"""Sequence packing and benchmark decontamination.
+
+Training-data-pipeline operators (task brief: first-class next to the
+SURVEY §2 grid) — the two steps that sit AFTER chunking in a
+Common-Crawl→pretraining pipeline:
+
+* ``pack_sequences`` — concat-and-pack: training windows (the rows
+  ``doc_chunks`` emits) are laid out in a deterministic global order
+  and greedily assigned to fixed-``capacity`` token bins, the shape a
+  pretraining dataloader consumes.  A chunk is never split: it goes
+  to the bin its start offset falls in, so a bin may spill past
+  ``capacity`` by at most one chunk (documented greedy semantics —
+  the report shows fill/spill so the trade-off is measurable).
+* ``decontaminate`` — benchmark n-gram overlap: every distinct
+  ``NGRAM``-token shingle of the benchmark set is matched against
+  every document's shingles; per-doc hit counts and overlap fraction
+  flag training documents that would leak eval data.
+
+Scale design (100 TB): ``pack_sequences`` shards the running-offset
+window by ``doc_id % n_shards`` — each shard's cumulative sum is an
+independent window over (doc_id, chunk_idx), so the sort is
+per-shard, never global; shards map 1:1 onto reducers and the output
+bin ids are deterministic regardless of parallelism.  A real cluster
+sets n_shards ≈ executors × 4 and each shard packs an independent
+stream (dataloader shards are independent anyway).
+``decontaminate`` joins on the shingle string: the benchmark side of
+the join is tiny by construction (an eval suite is MBs, not TBs), so
+Spark broadcasts it and the document side never shuffles; hit
+aggregation is a map-side-combinable groupBy(doc_id) of narrow rows.
+No Python anywhere in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CAPACITY = 256      # tokens per packed training sequence
+N_SHARDS = 8        # independent packing streams (executors × k)
+NGRAM = 13          # decontamination shingle width (industry default)
+CONTAM_FRAC = 0.05  # flag threshold: ≥5% of a doc's shingles hit
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """shard, bin_id, n_docs, n_chunks, n_tokens, fill_frac.
+
+    ``chunks`` carries (doc_id, chunk_idx, n_tokens); rows are packed
+    in (doc_id, chunk_idx) order within shard = doc_id % n_shards.
+    bin_id = floor(running-tokens-before-this-chunk / capacity) — the
+    greedy no-split assignment, so n_tokens > capacity means the last
+    chunk spilled and fill_frac > 1 records the overshoot.
+    """
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    binned = (
+        chunks.withColumn(
+            "shard", (F.col("doc_id") % n_shards).cast("int")
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("cum_before") / F.lit(capacity)).cast("int"),
+        )
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(capacity), 6).alias("fill_frac"),
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, gram) — DISTINCT n-token shingles per document."""
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("ng", (F.size("t") - n + 1).cast("int"))
+    gram_arr = F.expr(
+        f"CASE WHEN ng <= 0 THEN array() ELSE transform("
+        f"sequence(0, ng - 1), "
+        f"i -> array_join(slice(t, i + 1, {n}), ' ')) END"
+    )
+    return (
+        docs.select("doc_id")
+        .join(
+            toks.select(
+                "doc_id", F.explode(gram_arr).alias("gram")
+            ).distinct(),
+            "doc_id",
+            "left",
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM,
+    threshold: float = CONTAM_FRAC,
+) -> DataFrame:
+    """doc_id, n_grams, n_hit, contamination, contaminated.
+
+    A doc's contamination is the fraction of its distinct n-gram
+    shingles that appear anywhere in the benchmark set; docs too
+    short to form one shingle score 0.  The benchmark side is
+    broadcast — an eval suite is small by construction.
+    """
+    doc_grams = _shingles(docs, text_col, n)
+    bench_grams = (
+        _shingles(benchmark, text_col, n)
+        .where(F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+    )
+    hit = F.broadcast(bench_grams).withColumn("hit", F.lit(1))
+    scored = doc_grams.join(hit, "gram", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("gram").cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_hit") / F.col("n_grams")
+                ),
+                6,
+            ).alias("contamination"),
+        )
+        .withColumn(
+            "contaminated", F.col("contamination") >= F.lit(threshold)
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    chunks_cte: str, capacity: int = CAPACITY, n_shards: int = N_SHARDS
+) -> str:
+    """DuckDB twin of pack_sequences over a chunk-rows CTE/table."""
+    return f"""
+WITH binned AS (
+  SELECT doc_id, n_tokens,
+         CAST(doc_id % {n_shards} AS INT) AS shard,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY doc_id % {n_shards}
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {capacity}) AS INT) AS bin_id
+  FROM ({chunks_cte})
+)
+SELECT shard, bin_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / {capacity}.0, 6) AS fill_frac
+FROM binned GROUP BY shard, bin_id
+"""
+
+
+def _shingles_sql(table: str, n: int) -> str:
+    """DuckDB CTE body: DISTINCT n-gram shingles per doc (LEFT JOIN
+    keeps shingle-less docs with gram NULL, matching _shingles)."""
+    return f"""
+  SELECT d.doc_id, g.gram
+  FROM {table} d LEFT JOIN (
+    SELECT DISTINCT doc_id,
+           array_to_string(string_split(text, ' ')[i : i + {n} - 1], ' ')
+             AS gram
+    FROM {table},
+         unnest(generate_series(
+           1, len(string_split(text, ' ')) - {n} + 1)) AS u(i)
+  ) g USING (doc_id)
+"""
+
+
+def decontaminate_oracle_sql(
+    docs_table: str,
+    bench_table: str,
+    n: int = NGRAM,
+    threshold: float = CONTAM_FRAC,
+) -> str:
+    """DuckDB twin of decontaminate."""
+    return f"""
+WITH doc_grams AS ({_shingles_sql(docs_table, n)}),
+bench_grams AS (
+  SELECT DISTINCT gram FROM ({_shingles_sql(bench_table, n)})
+  WHERE gram IS NOT NULL
+),
+scored AS (
+  SELECT dg.doc_id, dg.gram,
+         CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM doc_grams dg LEFT JOIN bench_grams bg USING (gram)
+)
+SELECT doc_id,
+       CAST(count(gram) AS INT) AS n_grams,
+       CAST(sum(CASE WHEN gram IS NULL THEN 0 ELSE hit END) AS INT)
+         AS n_hit,
+       round(CASE WHEN count(gram) = 0 THEN 0.0
+             ELSE sum(hit)::DOUBLE / count(gram) END, 6)
+         AS contamination,
+       round(CASE WHEN count(gram) = 0 THEN 0.0
+             ELSE sum(hit)::DOUBLE / count(gram) END, 6)
+         >= {threshold} AS contaminated
+FROM scored GROUP BY doc_id
+"""

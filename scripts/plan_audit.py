@@ -147,6 +147,19 @@ def main() -> int:
             "expressions inside WholeStageCodegen riding the scan; "
             "single Exchange for the per-host count-distinct agg.",
         ),
+        (
+            "pack_sequences",
+            "expect: ONE Exchange on shard for the per-shard window "
+            "cumsum (sort is per-shard, never global) then a "
+            "map-side-combinable HashAggregate on (shard, bin_id); "
+            "no Python.",
+        ),
+        (
+            "decontaminate",
+            "expect: benchmark shingle set behind BroadcastExchange "
+            "(BroadcastHashJoin, document side never shuffles for "
+            "the probe); one Exchange on doc_id for the hit rollup.",
+        ),
     ]:
         sections.append((name, explain_str(qs[name](spark, sf)), note))
 

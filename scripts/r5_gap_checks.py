@@ -21,6 +21,8 @@ NEW = [
     "doc_chunks",
     "unigram_logprob",
     "corpus_build",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 

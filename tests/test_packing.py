@@ -1,0 +1,88 @@
+"""Per-value semantics for pack_sequences / decontaminate on
+hand-written docs; oracle-parity tests cover the aggregate shapes."""
+
+from __future__ import annotations
+
+from rotel_spark.operators.packing import decontaminate, pack_sequences
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(
+        rows, ["doc_id", "chunk_idx", "n_tokens"]
+    )
+
+
+def test_pack_greedy_no_split(spark):
+    # one shard (n_shards=1): chunks 60+60 fill bin 0 (120 < cap 128);
+    # next 100 starts at offset 120 -> bin 0 spills to 220; next 30
+    # starts at 220 -> bin 1
+    ch = _chunks(
+        spark,
+        [(1, 0, 60), (1, 1, 60), (2, 0, 100), (3, 0, 30)],
+    )
+    rows = {
+        r["bin_id"]: r
+        for r in pack_sequences(ch, capacity=128, n_shards=1).collect()
+    }
+    assert rows[0]["n_chunks"] == 3
+    assert rows[0]["n_tokens"] == 220
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["fill_frac"] == round(220 / 128, 6)
+    assert rows[1]["n_chunks"] == 1
+    assert rows[1]["n_tokens"] == 30
+
+
+def test_pack_shards_independent(spark):
+    # doc 1 -> shard 1, doc 2 -> shard 0: each stream packs alone
+    ch = _chunks(spark, [(1, 0, 50), (2, 0, 50)])
+    rows = pack_sequences(ch, capacity=64, n_shards=2).collect()
+    assert {(r["shard"], r["bin_id"], r["n_tokens"]) for r in rows} == {
+        (1, 0, 50),
+        (0, 0, 50),
+    }
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_decontaminate_hit_and_clean(spark):
+    bench_text = _words("b", 13)  # exactly one 13-gram
+    docs = _docs(
+        spark,
+        [
+            # doc 1: contains the benchmark 13-gram plus 13 own tokens
+            (1, bench_text + " " + _words("x", 13)),
+            # doc 2: fully disjoint
+            (2, _words("y", 20)),
+            # doc 3: too short for any shingle
+            (3, "just three tokens"),
+        ],
+    )
+    bench = _docs(spark, [(100, bench_text)])
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert rows[1]["n_grams"] == 14  # 26 tokens -> 14 shingles
+    assert rows[1]["n_hit"] == 1
+    assert rows[1]["contamination"] == round(1 / 14, 6)
+    assert rows[1]["contaminated"]  # 1/14 > 5%
+    assert rows[2]["n_hit"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_grams"] == 0
+    assert rows[3]["contamination"] == 0.0 and not rows[3]["contaminated"]
+
+
+def test_decontaminate_distinct_shingles_counted_once(spark):
+    blk = _words("s", 13)
+    # doc repeats the benchmark gram twice -> still one DISTINCT
+    # shingle, one hit
+    docs = _docs(spark, [(1, blk + " " + blk)])
+    bench = _docs(spark, [(9, blk)])
+    row = decontaminate(docs, bench).collect()[0]
+    # 26 tokens -> 14 raw shingles; positions 0 and 13 are the same
+    # gram text and collapse to one distinct shingle
+    assert row["n_grams"] == 13
+    assert row["n_hit"] == 1
+    assert row["contaminated"]
