@@ -1,0 +1,15 @@
+#!/bin/sh
+# Round-5 scaling collection: finish arm B (2->8) to the registered 8
+# pairs, then collect the full arm A (8->32) pool, then write the
+# report. NOTHING else may run on the host while this does.
+set -e
+cd /root/repo
+echo "=== arm B (N=2) remainder -> BENCH/pairs_r5_n2.jsonl ==="
+env ROTEL_SCALE_N=2 ROTEL_BENCH_REPS=1600 \
+    python scripts/scale_pairs.py collect 8 BENCH/pairs_r5_n2.jsonl
+echo "=== arm A (N=8) -> BENCH/pairs_r5.jsonl ==="
+env ROTEL_BENCH_REPS=3200 \
+    python scripts/scale_pairs.py collect 8 BENCH/pairs_r5.jsonl
+echo "=== report ==="
+python scripts/scale_pairs.py report
+echo "=== done ==="
