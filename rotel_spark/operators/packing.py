@@ -92,16 +92,11 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
         f"sequence(0, ng - 1), "
         f"i -> array_join(slice(t, i + 1, {n}), ' ')) END"
     )
-    return (
-        docs.select("doc_id")
-        .join(
-            toks.select(
-                "doc_id", F.explode(gram_arr).alias("gram")
-            ).distinct(),
-            "doc_id",
-            "left",
-        )
-    )
+    # explode_outer keeps shingle-less docs as one NULL-gram row —
+    # no doc_id self-join needed to preserve them
+    return toks.select(
+        "doc_id", F.explode_outer(gram_arr).alias("gram")
+    ).distinct()
 
 
 def decontaminate(
