@@ -42,6 +42,7 @@ from rotel_spark.operators.packing import (
     pack_sequences_oracle_sql,
 )
 from rotel_spark.operators.quality import (
+    budget_mix_oracle_sql,
     repetition_oracle_sql,
     unigram_logprob_oracle_sql,
 )
@@ -1895,6 +1896,15 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing selection: per-language quality-ranked (TTR desc)
+    greedy admission under per-language token budgets — one window
+    Exchange keyed by lang, never a global sort."""
+    from rotel_spark.operators.quality import budget_mix
+
+    return budget_mix(_docs(spark, sf_dir))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-pack training windows into fixed-capacity token
     bins across deterministic shards (per-shard window cumsum — the
@@ -1991,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "budget_mix": q_budget_mix,
     }
 
 
@@ -2405,6 +2416,7 @@ FROM flagged
         "pack_sequences": pack_sequences_oracle_sql(
             doc_chunks_oracle_sql("documents")
         ),
+        "budget_mix": budget_mix_oracle_sql("documents"),
         "decontaminate": decontaminate_oracle_sql(
             "(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
             "(SELECT * FROM documents WHERE doc_id % 97 = 0)",

@@ -212,3 +212,104 @@ FROM base
 LEFT JOIN bs USING (doc_id)
 LEFT JOIN ts USING (doc_id)
 """
+
+
+# per-language token budgets for the corpus mix (config values; the
+# comparison pipeline is the operator) — keys sorted for a
+# deterministic CASE chain in both engines
+MIX_BUDGETS = {"de": 2500, "en": 4000}
+MIX_DEFAULT_BUDGET = 1500
+
+
+def budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = MIX_DEFAULT_BUDGET,
+) -> DataFrame:
+    """lang, budget, n_docs, n_docs_kept, n_tokens_kept, fill_frac —
+    data-mixing selection: per language, admit documents in quality
+    order (type-token ratio desc, doc_id asc) until the language's
+    token budget is exhausted.  Greedy no-split: a doc is admitted
+    iff the budget was not already spent before it, so the last
+    admitted doc may overflow (measurable via fill_frac > 1).
+
+    Scale design (100 TB): the rank is a per-language window — one
+    Exchange keyed by lang, never a global sort; languages are the
+    natural mixing unit and skewed ones can be salted into
+    sub-streams upstream if a single language dominates.  TTR is a
+    per-row JVM expression; the rollup is a map-side-combinable
+    groupBy.
+    """
+    budgets = MIX_BUDGETS if budgets is None else budgets
+    b = F.lit(default_budget)
+    for lang, v in sorted(budgets.items()):
+        b = F.when(F.col("lang") == lang, F.lit(v)).otherwise(b)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("ttr"),
+    ).withColumn("budget", b.cast("bigint"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("ttr"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = base.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+    ).withColumn("keep", F.col("cum_before") < F.col("budget"))
+    return ranked.groupBy("lang", "budget").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.round(
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            / F.col("budget"),
+            6,
+        ).alias("fill_frac"),
+    )
+
+
+def budget_mix_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of budget_mix (same CASE chain, same window)."""
+    case = " ".join(
+        f"WHEN '{lang}' THEN {v}"
+        for lang, v in sorted(MIX_BUDGETS.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS ttr,
+         CAST(CASE lang {case} ELSE {MIX_DEFAULT_BUDGET} END AS BIGINT)
+           AS budget
+  FROM {table}
+),
+ranked AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY ttr DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS cum_before
+  FROM base
+)
+SELECT lang, budget,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(CASE WHEN cum_before < budget THEN 1 ELSE 0 END)
+            AS INT) AS n_docs_kept,
+       CAST(sum(CASE WHEN cum_before < budget THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept,
+       round(sum(CASE WHEN cum_before < budget THEN n_tokens
+                 ELSE 0 END)::DOUBLE / budget, 6) AS fill_frac
+FROM ranked GROUP BY lang, budget
+"""

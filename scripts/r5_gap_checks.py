@@ -23,6 +23,7 @@ NEW = [
     "corpus_build",
     "pack_sequences",
     "decontaminate",
+    "budget_mix",
 ]
 
 

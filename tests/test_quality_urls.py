@@ -117,3 +117,37 @@ def test_unigram_logprob_tie_break_deterministic(spark):
     # x in vocab (c=2), y OOV (c_eff=1)
     expect = (2 * (t - math.log(2)) + 2 * (t - math.log(1))) / 4
     assert row["avg_nll"] == round(expect, 6)
+
+
+def test_budget_mix_greedy_by_ttr(spark):
+    from rotel_spark.operators.quality import budget_mix
+
+    docs = spark.createDataFrame(
+        [
+            # lang xx -> default budget; hand-set TTRs:
+            (1, "xx", "a b c d"),          # ttr 1.0, 4 tokens
+            (2, "xx", "a a b b"),          # ttr 0.5, 4 tokens
+            (3, "xx", "a a a a"),          # ttr 0.25, 4 tokens
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    row = budget_mix(docs, budgets={}, default_budget=6).collect()[0]
+    # doc 1 admitted (cum_before 0 < 6); doc 2 admitted (4 < 6,
+    # overflows to 8); doc 3 rejected (8 >= 6)
+    assert row["n_docs"] == 3
+    assert row["n_docs_kept"] == 2
+    assert row["n_tokens_kept"] == 8
+    assert row["fill_frac"] == round(8 / 6, 6)
+
+
+def test_budget_mix_ttr_tie_breaks_on_doc_id(spark):
+    from rotel_spark.operators.quality import budget_mix
+
+    docs = spark.createDataFrame(
+        [(9, "yy", "p q"), (4, "yy", "r s")],  # both ttr 1.0
+        ["doc_id", "lang", "text"],
+    )
+    row = budget_mix(docs, budgets={}, default_budget=2).collect()[0]
+    # doc 4 wins the tie, doc 9 rejected (cum_before 2 >= 2)
+    assert row["n_docs_kept"] == 1
+    assert row["n_tokens_kept"] == 2
