@@ -1,0 +1,203 @@
+"""Round-5 WINDOW-2 scaling collection — PRE-REGISTERED.
+
+This file is committed BEFORE any window-2 sample exists. It does NOT
+replace the round-5 window-1 pools (BENCH/pairs_r5*.jsonl) — those
+stay on disk and in BASELINE.md exactly as collected. Window 2 exists
+because window 1 was the noisiest collection day recorded (same-config
+arms spread 2.8-7.6x; two pairs measured >1.0, direct evidence the
+same-window pairing assumption broke on the ~10-min quota oscillation),
+and because the window-1 protocol had a structural flaw this one fixes
+a priori: a window-1 pair took 8-15 minutes — LONGER than the ~10-min
+oscillation period — so the two arms of a pair routinely sat in
+different quota plateaus. Both windows are reported side by side;
+neither is deleted; the rules below are fixed before collection and
+the validity gate never looks at pipeline results.
+
+Pre-registered rules (window 2)
+-------------------------------
+1. SHORT ARMS so one full pair (probe, noop@N, noop@4N, pq@N, pq@4N,
+   probe) completes well inside one plateau:
+   arm A (N=8):  ROTEL_BENCH_REPS=1600 (7.6M routed records/arm,
+                 pair wall ~4-5 min)
+   arm B (N=2):  ROTEL_BENCH_REPS=800  (3.8M routed records/arm,
+                 pair wall ~5-6 min)
+2. CPU-WIDTH PROBE, outcome-independent validity gate: immediately
+   before and after each pair, measure the AGGREGATE rate (ops/s) of
+   32 busy-loop worker processes over 2.5 s, unpinned. Both readings
+   are stored in every sample line. At REPORT time a pair is VALID iff
+       min(probe_before, probe_after) >= 0.75 * P_max
+   where P_max is the maximum probe reading across ALL window-2
+   probes (both arms). Rationale: the known ~8-effective-core quota
+   regime depresses the 32-worker aggregate by 3-4x (r3 controlled
+   probes: 32 threads retain ~26 effective cores full-width vs ~8
+   under quota), far outside thermal/turbo variation (<20%), so
+   0.75*P_max cleanly separates the regimes. A raw aggregate is used
+   rather than a ratio to a single-proc run because the denominator
+   is the noisier instrument. The gate uses ONLY probe values — it
+   cannot select on efficiency.
+3. FIXED POOL: exactly 8 pairs per arm, collected consecutively into
+   BENCH/pairs_r5_w2.jsonl (arm A) and BENCH/pairs_r5_w2_n2.jsonl
+   (arm B). collect() refuses to append beyond 8. Interrupted
+   collection may be resumed to reach 8 (completing the registered
+   size is not optional stopping); stopping short or exceeding it is.
+4. STATISTIC (per arm x sink): the MEDIAN of pair efficiencies over
+   VALID pairs (the probe gate replaces window 1's best-3-median
+   rationale — throttled pairs are now excluded by an independent
+   instrument instead of by rank). The best-3 median over all pairs
+   is also reported for cross-window comparability. If fewer than 3
+   pairs of an arm are valid, that arm's window-2 measurement is
+   declared quota-contaminated and unusable, and window 1 stands
+   alone for it.
+5. Nothing else runs on the host during collection (the probe itself
+   would flag it).
+
+Usage:
+  python scripts/scale_window2.py collect A|B   # resumable to 8 pairs
+  python scripts/scale_window2.py report        # both arms, gate applied
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import pathlib
+import statistics
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from scale_pairs import load_pairs, run_arm  # noqa: E402
+
+REGISTERED_PAIRS = 8
+ARMS = {
+    # arm -> (N, reps, pool file)
+    "A": (8, 1600, REPO / "BENCH" / "pairs_r5_w2.jsonl"),
+    "B": (2, 800, REPO / "BENCH" / "pairs_r5_w2_n2.jsonl"),
+}
+GATE = 0.75  # min(width_before, width_after) >= GATE * W_max
+
+
+def _spin(dur: float, out) -> None:
+    """Busy-loop worker: count simple ops for `dur` seconds."""
+    end = time.perf_counter() + dur
+    n = 0
+    x = 1
+    while time.perf_counter() < end:
+        # fixed 1000-op inner block so the clock check is amortized
+        for _ in range(1000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 1000
+    out.put(n / dur)
+
+
+def probe_width(workers: int = 32) -> float:
+    """Aggregate busy-loop rate (Mops/s) of `workers` processes."""
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_spin, args=(2.5, q)) for _ in range(workers)]
+    for p in procs:
+        p.start()
+    total = sum(q.get(timeout=60) for _ in procs)
+    for p in procs:
+        p.join()
+    return total / 1e6
+
+
+def collect(arm: str) -> None:
+    n, reps, out_path = ARMS[arm]
+    os.environ["ROTEL_BENCH_REPS"] = str(reps)
+    out_path.parent.mkdir(exist_ok=True)
+    existing = 0
+    if out_path.exists():
+        done = {json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()}
+        existing = max(done) + 1 if done else 0
+    rounds = REGISTERED_PAIRS - existing
+    if rounds <= 0:
+        print(f"pool {out_path.name} already holds the registered "
+              f"{REGISTERED_PAIRS} pairs; refusing to top up")
+        return
+    print(f"arm {arm}: N={n}, reps={reps}, collecting pairs "
+          f"{existing}..{REGISTERED_PAIRS - 1} -> {out_path.name}",
+          flush=True)
+    for pair_id in range(existing, REGISTERED_PAIRS):
+        w_before = probe_width()
+        print(f"pair {pair_id} width_before={w_before:.1f}", flush=True)
+        samples = []
+        for sink in ("noop", "parquet"):
+            for cores in (n, 4 * n):
+                t0 = time.time()
+                s = run_arm(cores, sink)
+                s.update(pair=pair_id, ts=round(t0, 1),
+                         wall=round(time.time() - t0, 1))
+                samples.append(s)
+                print(f"pair {pair_id} {sink}@{cores}c: "
+                      f"{s['records_per_sec']:.0f} rps", flush=True)
+        w_after = probe_width()
+        print(f"pair {pair_id} width_after={w_after:.1f}", flush=True)
+        with open(out_path, "a") as f:
+            for s in samples:
+                s.update(width_before=round(w_before, 2),
+                         width_after=round(w_after, 2))
+                f.write(json.dumps(s) + "\n")
+
+
+def report() -> dict:
+    # W_max over every probe in the window (both arms), per rule 2
+    widths = []
+    for _, (_, _, path) in ARMS.items():
+        if path.exists():
+            for ln in open(path):
+                if ln.strip():
+                    s = json.loads(ln)
+                    widths += [s["width_before"], s["width_after"]]
+    if not widths:
+        print("no window-2 samples")
+        return {}
+    w_max = max(widths)
+    thresh = GATE * w_max
+    out = {"w_max": round(w_max, 2), "gate": round(thresh, 2)}
+    for arm, (n, reps, path) in ARMS.items():
+        if not path.exists():
+            continue
+        pairs = load_pairs(path, n)
+        arm_out = {"n": n, "4n": 4 * n, "reps": reps}
+        for sink in ("noop", "parquet"):
+            rows = []
+            for p in pairs[sink]:
+                wb = p["lo"]["width_before"]
+                wa = p["lo"]["width_after"]
+                valid = min(wb, wa) >= thresh
+                rows.append({
+                    "pair": p["pair"], "r_n": round(p["r_n"]),
+                    "r_4n": round(p["r_4n"]), "eff": round(p["eff"], 3),
+                    "width_min": round(min(wb, wa), 1), "valid": valid,
+                })
+            valid_effs = sorted(r["eff"] for r in rows if r["valid"])
+            all_effs = sorted((r["eff"] for r in rows), reverse=True)
+            parity = all(
+                p["lo"]["sink_counts"] == p["hi"]["sink_counts"]
+                for p in pairs[sink]
+            )
+            arm_out[sink] = {
+                "pairs": rows,
+                "valid_pairs": len(valid_effs),
+                "median_valid": (round(statistics.median(valid_effs), 3)
+                                 if len(valid_effs) >= 3 else None),
+                "usable": len(valid_effs) >= 3,
+                "best3_median_all": (round(statistics.median(all_effs[:3]), 3)
+                                     if all_effs else None),
+                "parity": parity,
+            }
+        out[arm] = arm_out
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "collect":
+        collect(sys.argv[2])
+    else:
+        report()
