@@ -1007,6 +1007,41 @@ def q_emf_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emf_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMF dimension wildcard filtering (awsemf/dim_filter.rs:28-67
+    applied at the emit site, transformer.rs:539-549): per-group label
+    keys pass an include list (must match ≥1 pattern when non-empty)
+    then an exclude list (must match none — exclusion wins), with `*`
+    as the only metasymbol, case-sensitive, no escapes. Candidate
+    dimension names are synthesized deterministically per event so the
+    filter runs against data-dependent keys; survivors are sorted and
+    joined, then grouped to a count per surviving key-set. Pure JVM
+    `rlike` + array filter — no Python in the hot path."""
+    from rotel_spark.telemetry import filter_dimensions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cand = F.array(
+        F.lit("service"),
+        F.lit("event_type"),
+        F.concat(F.lit("http."), F.col("event_type")),
+        F.concat(F.col("event_type"), F.lit("_total")),
+        F.concat(
+            F.lit("internal."), (F.col("event_id") % 3).cast("string")
+        ),
+        F.lit("debug.info"),
+    )
+    dims = filter_dimensions(
+        cand,
+        includes=["service", "http.*", "*_total", "internal.*"],
+        excludes=["internal.1", "*.info", "http.error"],
+    )
+    return (
+        events.select(F.concat_ws(",", dims).alias("dim_keys"))
+        .groupBy("dim_keys")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed AnyValue coercion + nested-kvlist dotted flatten
     (cvattr.rs:30-42; clickhouse transformer.rs:50-131): nested JSON
@@ -1978,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_metrics_proto_roundtrip": q_otlp_metrics_proto_roundtrip,
         "metric_type_batch_sizing": q_metric_type_batch_sizing,
         "emf_document": q_emf_document,
+        "emf_dim_filter": q_emf_dim_filter,
         "typed_attrs": q_typed_attrs,
         "typed_attrs_clickhouse": q_typed_attrs_clickhouse,
         "retry_classification": q_retry_classification,
@@ -2690,6 +2726,25 @@ SELECT service, event_type, 'summary', CAST(tsm / 1000000 AS BIGINT),
        CAST(60 AS INTEGER), n, s,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM grp
+""",
+        "emf_dim_filter": """
+WITH cand AS (
+  SELECT ['service', 'event_type', 'http.' || event_type,
+          event_type || '_total',
+          'internal.' || CAST(event_id % 3 AS VARCHAR),
+          'debug.info'] AS ks
+  FROM events),
+kept AS (
+  SELECT array_to_string(list_sort(list_filter(ks, k ->
+      (regexp_matches(k, '^service$')
+       OR regexp_matches(k, '^http\\..*$')
+       OR regexp_matches(k, '^.*_total$')
+       OR regexp_matches(k, '^internal\\..*$'))
+      AND NOT (regexp_matches(k, '^internal\\.1$')
+               OR regexp_matches(k, '^.*\\.info$')
+               OR regexp_matches(k, '^http\\.error$')))), ',') AS dim_keys
+  FROM cand)
+SELECT dim_keys, count(*) AS n FROM kept GROUP BY 1
 """,
         "typed_attrs": """
 WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)

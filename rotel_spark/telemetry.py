@@ -256,7 +256,10 @@ def metrics_batch_sizing(
 
 
 def emf_documents(
-    events: DataFrame, detailed_metrics: bool = False
+    events: DataFrame,
+    detailed_metrics: bool = False,
+    include_dimensions: list[str] | None = None,
+    exclude_dimensions: list[str] | None = None,
 ) -> DataFrame:
     """Typed metrics → CloudWatch EMF JSON log documents with the
     reference's PER-TYPE emit shapes (awsemf/transformer.rs:560-618):
@@ -292,6 +295,11 @@ def emf_documents(
     field shape here completes that intent; the default emit stays
     byte-compatible with the reference's.
 
+    include_dimensions / exclude_dimensions wildcard-filter the
+    Dimensions directive keys at emit time (dim_filter.rs:28-55
+    applied at transformer.rs:539-549); label fields stay in the
+    document — only the directive's key list shrinks.
+
     Output: one row per (namespace, dims, timestamp, type) group with
     `emf_json` plus the group keys for joining/verification."""
     dps = events_to_typed_datapoints(events)
@@ -311,9 +319,14 @@ def emf_documents(
         F.array(
             F.struct(
                 F.col("namespace").alias("Namespace"),
-                # sorted dimension key set (transformer.rs:540-549)
+                # sorted dimension key set (transformer.rs:540-549),
+                # wildcard-filtered when a dim filter is configured
                 F.array(
-                    F.array(F.lit("event_type"), F.lit("service"))
+                    filter_dimensions(
+                        F.array(F.lit("event_type"), F.lit("service")),
+                        include_dimensions or [],
+                        exclude_dimensions or [],
+                    )
                 ).alias("Dimensions"),
                 F.array(
                     F.struct(
@@ -512,3 +525,58 @@ def cumulative_to_delta(
     if not retain_initial_value:
         out = out.filter(~F.col("is_initial"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# EMF dimension filtering (awsemf/dim_filter.rs)
+# ---------------------------------------------------------------------------
+
+def wildcard_regex(pattern: str) -> str:
+    """Compile one dimension wildcard to an anchored regex string.
+
+    Mirrors dim_filter.rs:60-67 (`new_wildcard`): `*` is the only
+    metasymbol (matches any span, including empty), `?` is disabled,
+    there is no escape character, and matching is case-sensitive over
+    the whole dimension name.
+    """
+    import re as _re
+
+    return "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+
+
+def dim_filter_condition(key, includes: list[str], excludes: list[str]):
+    """Boolean Column: should dimension name `key` be kept?
+
+    The reference's two-gate rule (dim_filter.rs:28-55
+    `should_include`): with a non-empty include list the name must
+    match at least one include pattern; with a non-empty exclude list
+    it must match none — exclusion wins over inclusion. Empty lists
+    are permissive. Pure JVM `rlike` alternation, no Python UDF.
+    """
+    if isinstance(key, str):
+        key = F.col(key)
+    cond = F.lit(True)
+    if includes:
+        inc = "|".join(f"(?:{wildcard_regex(p)})" for p in includes)
+        cond = cond & key.rlike(inc)
+    if excludes:
+        exc = "|".join(f"(?:{wildcard_regex(p)})" for p in excludes)
+        cond = cond & ~key.rlike(exc)
+    return cond
+
+
+def filter_dimensions(
+    keys, includes: list[str], excludes: list[str]
+):
+    """Filter + sort an array column of dimension names.
+
+    The emit site (awsemf/transformer.rs:539-549) filters the grouped
+    metric's label keys through the DimensionFilter, then sorts the
+    survivors for stable log lines; label VALUES are untouched — only
+    the CloudWatchMetrics Dimensions directive shrinks.
+    """
+    if isinstance(keys, str):
+        keys = F.col(keys)
+    return F.sort_array(
+        F.filter(keys, lambda k: dim_filter_condition(k, includes, excludes))
+    )

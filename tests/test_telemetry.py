@@ -301,3 +301,142 @@ def test_emf_detailed_quantile_fields(spark, sf_unit):
         doc = json.loads(r.emf_json)
         assert f"{r.metric_name}_0.5" not in doc
         assert f"{r.metric_name}_count" in doc
+
+
+# ---------------------------------------------------------------------------
+# EMF dimension filter (awsemf/dim_filter.rs tests, mirrored 1:1)
+# ---------------------------------------------------------------------------
+
+
+def _keep(spark, includes, excludes, names):
+    """Run dim_filter_condition over literal names; return kept set."""
+    from rotel_spark.telemetry import dim_filter_condition
+
+    df = spark.createDataFrame([(n,) for n in names], ["k"])
+    rows = df.filter(dim_filter_condition("k", includes, excludes)).collect()
+    return {r.k for r in rows}
+
+
+def test_dim_filter_no_filters_allows_all(spark):
+    # dim_filter.rs test_no_filters_allows_all
+    names = ["service.name", "http.method"]
+    assert _keep(spark, [], [], names) == set(names)
+
+
+def test_dim_filter_include_exact_match(spark):
+    # dim_filter.rs test_include_exact_match
+    kept = _keep(
+        spark,
+        ["service.name", "http.method"],
+        [],
+        ["service.name", "http.method", "other.dimension", "service.version"],
+    )
+    assert kept == {"service.name", "http.method"}
+
+
+def test_dim_filter_include_wildcard_patterns(spark):
+    # dim_filter.rs test_include_wildcard_patterns
+    kept = _keep(
+        spark,
+        ["service.*", "http.*"],
+        [],
+        [
+            "service.name", "service.version", "http.method",
+            "http.status_code", "other.dimension", "db.connection",
+        ],
+    )
+    assert kept == {
+        "service.name", "service.version", "http.method", "http.status_code",
+    }
+
+
+def test_dim_filter_exclude_exact_and_wildcard(spark):
+    # dim_filter.rs test_exclude_exact_match + test_exclude_wildcard_patterns
+    kept = _keep(
+        spark,
+        [],
+        ["service.name", "http.method"],
+        ["service.name", "http.method", "other.dimension", "service.version"],
+    )
+    assert kept == {"other.dimension", "service.version"}
+    kept = _keep(
+        spark,
+        [],
+        ["service.*", "http.*"],
+        [
+            "service.name", "service.version", "http.method",
+            "http.status_code", "other.dimension", "db.connection",
+        ],
+    )
+    assert kept == {"other.dimension", "db.connection"}
+
+
+def test_dim_filter_include_and_exclude_combined(spark):
+    # dim_filter.rs test_include_and_exclude_combined (+ wildcard variant):
+    # exclusion wins over inclusion
+    kept = _keep(
+        spark,
+        ["service.*"],
+        ["service.internal"],
+        [
+            "service.name", "service.version", "service.internal",
+            "http.method", "other.dimension",
+        ],
+    )
+    assert kept == {"service.name", "service.version"}
+    kept = _keep(
+        spark,
+        ["*"],
+        ["internal.*", "debug.*"],
+        [
+            "service.name", "http.method", "internal.metric",
+            "debug.info", "internal.counter",
+        ],
+    )
+    assert kept == {"service.name", "http.method"}
+
+
+def test_dim_filter_partial_wildcard_and_case_sensitivity(spark):
+    # dim_filter.rs test_partial_wildcard_patterns + test_case_sensitive
+    kept = _keep(
+        spark,
+        ["*_total", "cpu_*"],
+        [],
+        [
+            "requests_total", "errors_total", "cpu_usage", "cpu_percent",
+            "requests_count", "memory_usage",
+        ],
+    )
+    assert kept == {
+        "requests_total", "errors_total", "cpu_usage", "cpu_percent",
+    }
+    kept = _keep(
+        spark, ["Service.*"], [],
+        ["Service.Name", "service.name", "SERVICE.NAME"],
+    )
+    assert kept == {"Service.Name"}
+
+
+def test_dim_filter_regex_metachars_are_literal(spark):
+    # '.' in patterns must match only a literal dot ('*' is the ONLY
+    # metasymbol — dim_filter.rs:60-67 disables '?' and escapes)
+    kept = _keep(spark, ["service.name"], [], ["service.name", "serviceXname"])
+    assert kept == {"service.name"}
+    kept = _keep(spark, ["a+b*"], [], ["a+b.c", "aab.c", "a+b"])
+    assert kept == {"a+b.c", "a+b"}
+
+
+def test_emf_document_dimension_filter(spark, sf_unit):
+    # emit-site wiring (transformer.rs:539-549): the Dimensions
+    # directive shrinks; label fields stay in the document
+    from rotel_spark.telemetry import emf_documents
+
+    events = spark.read.parquet(f"{sf_unit}/events.parquet")
+    docs = emf_documents(
+        events, include_dimensions=["service", "event_*"],
+        exclude_dimensions=["event_type"],
+    ).limit(5).collect()
+    assert docs
+    for r in docs:
+        assert '"Dimensions":[["service"]]' in r.emf_json
+        assert '"event_type":' in r.emf_json  # label field survives
