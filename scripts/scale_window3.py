@@ -1,0 +1,184 @@
+"""Round-5 WINDOW-3 scaling collection — PRE-REGISTERED.
+
+Committed BEFORE any window-3 sample exists. Windows 1 and 2 are NOT
+replaced: their pools, reports, and verdicts stay on disk exactly as
+collected (window 2 declared itself unusable under its own rules —
+see BENCH/BASELINE.md). Window 3 exists because window 2's validity
+gate had a measured design error: its reference value was the raw MAX
+over all probe readings, and a single 2.5-s turbo burst (280.0 Mops
+vs a 190-225 full-width cluster) pushed the threshold to 210 — inside
+the full-width cluster — invalidating genuinely clean pairs. The
+probe INSTRUMENT worked (it caught the pair-3 mid-pair quota collapse
+206->102 exactly when the 32c arm measured eff 0.19); only the
+reference statistic was fragile. This amendment is motivated by that
+observed failure and fixes ONLY the reference + factor, a priori:
+
+Pre-registered rules (window 3)
+-------------------------------
+1. ARMS AND VOLUMES identical to window 2 (short arms, one pair well
+   inside one ~10-min quota plateau):
+   arm A (N=8):  ROTEL_BENCH_REPS=1600 (7.6M routed records/arm)
+   arm B (N=2):  ROTEL_BENCH_REPS=800  (3.8M routed records/arm)
+   Collection order: B first (the constant-per-core-bandwidth regime
+   a real cluster operates in — the graded regime), then A.
+2. GATE (the only change from window 2): a pair is VALID iff
+       min(probe_before, probe_after) >= 0.70 * W_ref
+   where W_ref is the SECOND-HIGHEST probe reading across all
+   window-3 probes (both arms). Rationale: the quota regime
+   depresses the 32-worker aggregate 3-4x (r3 controlled probes),
+   turbo/thermal variation is <20%, and discarding exactly one
+   reading makes the reference robust to a single burst while still
+   tracking this window's true full width. 0.70 x second-max sits
+   below the full-width cluster and far above the quota regime.
+   Applied to window 2's probes this lands at ~157 — it would have
+   admitted the clean pairs and still rejected the observed
+   collapses (102, 123, 135); committed here before any window-3
+   probe exists. The gate uses ONLY probe values — it cannot select
+   on efficiency.
+3. FIXED POOL: exactly 6 pairs per arm (sized to the remaining
+   round-5 wall-clock; window 2 measured ~9 min/pair for arm B and
+   ~5 min/pair for arm A, so 6+6 fits the budget with margin),
+   collected consecutively into BENCH/pairs_r5_w3_n2.jsonl (arm B)
+   and BENCH/pairs_r5_w3.jsonl (arm A). collect() refuses to append
+   beyond 6. Interrupted collection may be resumed to reach 6
+   (completing the registered size is not optional stopping);
+   stopping short or exceeding it is. If the round's wall-clock
+   expires mid-pool, the partial pool is reported as INCOMPLETE and
+   carries no headline.
+4. STATISTIC (per arm x sink): MEDIAN of pair efficiencies over
+   VALID pairs. If fewer than 3 pairs of an arm are valid, that
+   arm's window-3 measurement is declared quota-contaminated and
+   unusable (windows 1/2 verdicts stand alone). The best-3 median
+   over all pairs is also reported for cross-window comparability.
+5. Nothing else runs on the host during collection.
+
+Usage:
+  python scripts/scale_window3.py collect A|B   # resumable to 6 pairs
+  python scripts/scale_window3.py report        # both arms, gate applied
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import statistics
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from scale_pairs import load_pairs, run_arm  # noqa: E402
+from scale_window2 import probe_width  # noqa: E402
+
+REGISTERED_PAIRS = 6
+ARMS = {
+    # arm -> (N, reps, pool file)
+    "A": (8, 1600, REPO / "BENCH" / "pairs_r5_w3.jsonl"),
+    "B": (2, 800, REPO / "BENCH" / "pairs_r5_w3_n2.jsonl"),
+}
+GATE = 0.70  # min(width_before, width_after) >= GATE * second_max(widths)
+
+
+def collect(arm: str) -> None:
+    n, reps, out_path = ARMS[arm]
+    os.environ["ROTEL_BENCH_REPS"] = str(reps)
+    out_path.parent.mkdir(exist_ok=True)
+    existing = 0
+    if out_path.exists():
+        done = {json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()}
+        existing = max(done) + 1 if done else 0
+    rounds = REGISTERED_PAIRS - existing
+    if rounds <= 0:
+        print(f"pool {out_path.name} already holds the registered "
+              f"{REGISTERED_PAIRS} pairs; refusing to top up")
+        return
+    print(f"arm {arm}: N={n}, reps={reps}, collecting pairs "
+          f"{existing}..{REGISTERED_PAIRS - 1} -> {out_path.name}",
+          flush=True)
+    for pair_id in range(existing, REGISTERED_PAIRS):
+        w_before = probe_width()
+        print(f"pair {pair_id} width_before={w_before:.1f}", flush=True)
+        samples = []
+        for sink in ("noop", "parquet"):
+            for cores in (n, 4 * n):
+                t0 = time.time()
+                s = run_arm(cores, sink)
+                s.update(pair=pair_id, ts=round(t0, 1),
+                         wall=round(time.time() - t0, 1))
+                samples.append(s)
+                print(f"pair {pair_id} {sink}@{cores}c: "
+                      f"{s['records_per_sec']:.0f} rps", flush=True)
+        w_after = probe_width()
+        print(f"pair {pair_id} width_after={w_after:.1f}", flush=True)
+        with open(out_path, "a") as f:
+            for s in samples:
+                s.update(width_before=round(w_before, 2),
+                         width_after=round(w_after, 2))
+                f.write(json.dumps(s) + "\n")
+
+
+def report() -> dict:
+    # W_ref = second-highest probe across every window-3 reading
+    # (both arms), per rule 2
+    widths = []
+    for _, (_, _, path) in ARMS.items():
+        if path.exists():
+            for ln in open(path):
+                if ln.strip():
+                    s = json.loads(ln)
+                    widths += [s["width_before"], s["width_after"]]
+    if len(widths) < 2:
+        print("no window-3 samples")
+        return {}
+    w_ref = sorted(set(widths), reverse=True)[1] if len(set(widths)) > 1 \
+        else widths[0]
+    thresh = GATE * w_ref
+    out = {"w_max": round(max(widths), 2), "w_ref_second_max": round(w_ref, 2),
+           "gate": round(thresh, 2)}
+    for arm, (n, reps, path) in ARMS.items():
+        if not path.exists():
+            continue
+        n_pairs = len({json.loads(ln)["pair"] for ln in open(path)
+                       if ln.strip()})
+        pairs = load_pairs(path, n)
+        arm_out = {"n": n, "4n": 4 * n, "reps": reps,
+                   "complete": n_pairs >= REGISTERED_PAIRS}
+        for sink in ("noop", "parquet"):
+            rows = []
+            for p in pairs[sink]:
+                wb = p["lo"]["width_before"]
+                wa = p["lo"]["width_after"]
+                valid = min(wb, wa) >= thresh
+                rows.append({
+                    "pair": p["pair"], "r_n": round(p["r_n"]),
+                    "r_4n": round(p["r_4n"]), "eff": round(p["eff"], 3),
+                    "width_min": round(min(wb, wa), 1), "valid": valid,
+                })
+            valid_effs = sorted(r["eff"] for r in rows if r["valid"])
+            all_effs = sorted((r["eff"] for r in rows), reverse=True)
+            parity = all(
+                p["lo"]["sink_counts"] == p["hi"]["sink_counts"]
+                for p in pairs[sink]
+            )
+            arm_out[sink] = {
+                "pairs": rows,
+                "valid_pairs": len(valid_effs),
+                "median_valid": (round(statistics.median(valid_effs), 3)
+                                 if len(valid_effs) >= 3 else None),
+                "usable": len(valid_effs) >= 3 and arm_out["complete"],
+                "best3_median_all": (round(statistics.median(all_effs[:3]), 3)
+                                     if all_effs else None),
+                "parity": parity,
+            }
+        out[arm] = arm_out
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "collect":
+        collect(sys.argv[2])
+    else:
+        report()
