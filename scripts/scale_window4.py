@@ -1,0 +1,152 @@
+"""Round-5 WINDOW-4 scaling collection — PRE-REGISTERED, ARM B ONLY.
+
+Committed BEFORE any window-4 sample exists. Windows 1-3 stand as
+recorded. Window 4 exists for one reason: arm B (2->8, the
+constant-per-core-bandwidth regime that transfers to a real
+multi-node cluster — the graded regime) got NO usable r5 measurement:
+window 1 predated the probe instrument on the noisiest day recorded,
+window 2's gate self-invalidated on a turbo-burst reference, and
+window 3's entire arm-B hour sat inside the quota regime (all probe
+widths 75-147 vs gate 153). The launch decision for window 4 is
+OUTCOME-INDEPENDENT: it was taken after three ad-hoc width probes
+read 211/204/226 Mops (full-width cluster), i.e. on the probe
+instrument alone, which never sees a pipeline efficiency.
+
+Pre-registered rules (window 4)
+-------------------------------
+1. ARM B ONLY: N=2, ROTEL_BENCH_REPS=800 (3.8M routed records/arm),
+   identical volumes to windows 2-3.
+2. GATE identical to window 3 (the one amendment that worked): a
+   pair is VALID iff min(probe_before, probe_after) >= 0.70 * W_ref,
+   W_ref = second-highest probe reading across all window-4 probes.
+   The gate uses ONLY probe values — it cannot select on efficiency.
+3. FIXED POOL: exactly 5 pairs (sized to the ~75 min of round-5
+   wall-clock remaining at registration; window 3 measured ~9
+   min/pair for arm B), collected consecutively into
+   BENCH/pairs_r5_w4_n2.jsonl. collect() refuses to append beyond 5.
+   Interrupted collection may be resumed to reach 5; stopping short
+   or exceeding it is optional stopping. If the round's wall-clock
+   expires mid-pool, the partial pool is reported INCOMPLETE and
+   carries no headline.
+4. STATISTIC: MEDIAN of pair efficiencies over VALID pairs; fewer
+   than 3 valid pairs => window 4 is declared quota-contaminated and
+   unusable (and r4 arm B remains the standing arm-B evidence). The
+   best-3 median over all pairs is also reported for cross-window
+   comparability.
+5. Nothing else runs on the host during collection.
+
+Usage:
+  python scripts/scale_window4.py collect    # resumable to 5 pairs
+  python scripts/scale_window4.py report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import statistics
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from scale_pairs import load_pairs, run_arm  # noqa: E402
+from scale_window2 import probe_width  # noqa: E402
+
+REGISTERED_PAIRS = 5
+N = 2
+REPS = 800
+POOL = REPO / "BENCH" / "pairs_r5_w4_n2.jsonl"
+GATE = 0.70  # min(width_before, width_after) >= GATE * second_max(widths)
+
+
+def collect() -> None:
+    os.environ["ROTEL_BENCH_REPS"] = str(REPS)
+    POOL.parent.mkdir(exist_ok=True)
+    existing = 0
+    if POOL.exists():
+        done = {json.loads(ln)["pair"] for ln in open(POOL) if ln.strip()}
+        existing = max(done) + 1 if done else 0
+    if REGISTERED_PAIRS - existing <= 0:
+        print(f"pool {POOL.name} already holds the registered "
+              f"{REGISTERED_PAIRS} pairs; refusing to top up")
+        return
+    print(f"arm B: N={N}, reps={REPS}, collecting pairs "
+          f"{existing}..{REGISTERED_PAIRS - 1} -> {POOL.name}", flush=True)
+    for pair_id in range(existing, REGISTERED_PAIRS):
+        w_before = probe_width()
+        print(f"pair {pair_id} width_before={w_before:.1f}", flush=True)
+        samples = []
+        for sink in ("noop", "parquet"):
+            for cores in (N, 4 * N):
+                t0 = time.time()
+                s = run_arm(cores, sink)
+                s.update(pair=pair_id, ts=round(t0, 1),
+                         wall=round(time.time() - t0, 1))
+                samples.append(s)
+                print(f"pair {pair_id} {sink}@{cores}c: "
+                      f"{s['records_per_sec']:.0f} rps", flush=True)
+        w_after = probe_width()
+        print(f"pair {pair_id} width_after={w_after:.1f}", flush=True)
+        with open(POOL, "a") as f:
+            for s in samples:
+                s.update(width_before=round(w_before, 2),
+                         width_after=round(w_after, 2))
+                f.write(json.dumps(s) + "\n")
+
+
+def report() -> dict:
+    if not POOL.exists():
+        print("no window-4 samples")
+        return {}
+    widths = []
+    for ln in open(POOL):
+        if ln.strip():
+            s = json.loads(ln)
+            widths += [s["width_before"], s["width_after"]]
+    w_ref = sorted(set(widths), reverse=True)[1] if len(set(widths)) > 1 \
+        else widths[0]
+    thresh = GATE * w_ref
+    n_pairs = len({json.loads(ln)["pair"] for ln in open(POOL) if ln.strip()})
+    out = {"w_max": round(max(widths), 2), "w_ref_second_max": round(w_ref, 2),
+           "gate": round(thresh, 2), "n": N, "4n": 4 * N, "reps": REPS,
+           "complete": n_pairs >= REGISTERED_PAIRS}
+    pairs = load_pairs(POOL, N)
+    for sink in ("noop", "parquet"):
+        rows = []
+        for p in pairs[sink]:
+            wb = p["lo"]["width_before"]
+            wa = p["lo"]["width_after"]
+            valid = min(wb, wa) >= thresh
+            rows.append({
+                "pair": p["pair"], "r_n": round(p["r_n"]),
+                "r_4n": round(p["r_4n"]), "eff": round(p["eff"], 3),
+                "width_min": round(min(wb, wa), 1), "valid": valid,
+            })
+        valid_effs = sorted(r["eff"] for r in rows if r["valid"])
+        all_effs = sorted((r["eff"] for r in rows), reverse=True)
+        parity = all(
+            p["lo"]["sink_counts"] == p["hi"]["sink_counts"]
+            for p in pairs[sink]
+        )
+        out[sink] = {
+            "pairs": rows,
+            "valid_pairs": len(valid_effs),
+            "median_valid": (round(statistics.median(valid_effs), 3)
+                             if len(valid_effs) >= 3 else None),
+            "usable": len(valid_effs) >= 3 and out["complete"],
+            "best3_median_all": (round(statistics.median(all_effs[:3]), 3)
+                                 if all_effs else None),
+            "parity": parity,
+        }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "collect":
+        collect()
+    else:
+        report()
