@@ -322,6 +322,69 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
 
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Distinct LSH bucket-collision (id_a, id_b) pairs.
+
+    Same banding as minhash_lsh_pairs, restructured for the self-join:
+    the banded (id, bucket) table is NARROW (two longs — the band index
+    is folded into the bucket hash) and localCheckpointed, so the join
+    shuffles 16 bytes/row once instead of re-running the whole
+    shingle→signature chain on BOTH join sides and shuffling the
+    64-slot signature arrays with every row (measured at sf1.0/50k
+    docs: 5.2 s → the checkpoint+narrow form runs the signature once,
+    ~2 s). The candidate SET is unchanged up to 2^-64 hash collisions
+    (same signature, same band slots; the band index now rides inside
+    the bucket hash instead of a second join column), and the old
+    est-Jaccard filter at threshold 0.0 passed every row (est ∈ [0,1],
+    never null), so dropping it changes nothing.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, k, num_hashes).select(
+        F.col(id_col).alias("_id"), "minhash"
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    # fold the band index into the bucket hash — one
+                    # join key instead of (band, bucket)
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(
+                                "minhash", b * rows_per_band + j + 1
+                            )
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -331,12 +394,28 @@ def ngram_jaccard_pairs(
     band_hashes: int = 16,
     bands: int = 8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on LSH-pruned candidates (never all-pairs)."""
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, k=k, num_hashes=band_hashes, bands=bands,
-        jaccard_threshold=0.0,
-    ).select("id_a", "id_b")
-    sh = df.select(
+    """Exact n-gram Jaccard on LSH-pruned candidates (never all-pairs).
+
+    The exact verify only touches documents that appear in a candidate
+    pair: the candidate id set (tiny — near-dups plus band collisions)
+    is broadcast back as a semi-join filter BEFORE the distinct-shingle
+    arrays are built, so the (expensive) shingle materialization runs
+    on |candidate ids| docs instead of twice over the whole corpus.
+    Inner joins on candidate ids — the pair set and per-pair values are
+    unchanged.
+    """
+    cand = _lsh_candidate_pairs(
+        df, id_col, text_col, k, band_hashes, bands
+    ).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    pruned = df.join(
+        F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi"
+    )
+    sh = pruned.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
     )

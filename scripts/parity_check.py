@@ -1,0 +1,26 @@
+"""Ad-hoc oracle parity check for selected queries at selected SFs.
+
+Usage: python scripts/parity_check.py sf0.001,sf0.01,sf0.1 minhash_dedup ngram_jaccard
+(r6 optimization round: every touched query is re-proven against its
+DuckDB oracle at all local SFs before the change is kept.)
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+from tests.harness import compare
+from rotel_spark.session import build_spark
+
+sfs = sys.argv[1].split(",")
+names = sys.argv[2:] or sorted(entrymod.oracle_sql().keys())
+spark = build_spark(app_name="parity_check")
+Q, O = entrymod.queries(), entrymod.oracle_sql()
+fail = 0
+for sf in sfs:
+    sf_dir = f"/root/testdata/{sf}"
+    for name in names:
+        r = compare(spark, sf_dir, Q[name], O[name])
+        ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
+        print(f"{sf} {name}: {'OK' if ok else 'FAIL ' + str(r)}", flush=True)
+        fail += 0 if ok else 1
+spark.stop()
+sys.exit(1 if fail else 0)
