@@ -70,23 +70,41 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         "time_unix_nano", "parse_ok", "body",
     )
 
-    # stage 1: format detection (each rlike runs once per row)
-    s1 = df.select("*", detect_format(line).alias("log_source"))
-    fmt = F.col("log_source")
+    # stage 1: cheap structural probes claim json/kmsg/nginx_error; the
+    # remaining rows go straight to the combined capture and the
+    # 'nginx' / 'unknown' verdict rides the capture result (capture_ok
+    # ⇔ the detect rlike — regexp_replace rewrites iff the pattern
+    # matches). The previous detect-then-capture staging evaluated the
+    # expensive COMBINED regex TWICE per combined-format row (the
+    # majority format): once as the detect rlike, once as the capture
+    # regexp_replace. Measured at 10M rows / 7M nginx: detect+capture
+    # 2.5 s → 2.0 s with the single evaluation; detection counts
+    # identical on every format including garbage lines.
+    from .capture import capture_all, capture_ok
+
+    pre = (
+        F.when(line.startswith("{"), F.lit("json"))
+        .when(line.rlike(r"^\d+,\d+,\d+(,[^;]*)?;"), F.lit("kmsg"))
+        .when(line.rlike(r"^\d{4}/\d{2}/\d{2} "), F.lit("nginx_error"))
+    )
+    s1 = df.select("*", pre.alias("_pre"))
 
     # stage 2: raw field extraction, guarded per format — a row only
     # pays its own format's parse, and each format's regex runs ONCE
     # per row (capture_all: one regexp_replace + split yields every
-    # group; per-group regexp_extract would re-match per field)
-    from .capture import capture_all
-
+    # group; per-group regexp_extract would re-match per field).
+    # Unclaimed rows (NULL _pre) pay the combined capture; for a
+    # garbage line the regex fails on the first characters and the
+    # capture array is the line itself (capture_ok false → 'unknown'),
+    # exactly the rows the old plan sent through the detect rlike.
     def only(f, expr):
-        return F.when(fmt == f, expr)
+        return F.when(F.col("_pre") == f, expr)
 
     s2a = s1.select(
         "*",
-        only(
-            "nginx", capture_all(line, nginx.COMBINED_PATTERN, 8)
+        F.when(
+            F.col("_pre").isNull(),
+            capture_all(line, nginx.COMBINED_PATTERN, 8),
         ).alias("_ng"),
         only(
             "nginx_error", capture_all(line, nginx.ERROR_PATTERN, 6)
@@ -96,11 +114,24 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
             "_j"
         ),
     )
-    # groups ≥2 are plain array slots; group 1 carries the match MARK
+    s2a = s2a.select(
+        "*",
+        F.coalesce(
+            F.col("_pre"),
+            F.when(capture_ok(F.col("_ng"), 8), F.lit("nginx")).otherwise(
+                F.lit("unknown")
+            ),
+        ).alias("log_source"),
+    ).drop("_pre")
+    fmt = F.col("log_source")
+    # groups ≥2 are plain array slots; group 1 carries the match MARK.
+    # _ng slots use F.get (NULL out-of-bounds): unmatched lines keep a
+    # 1-element capture array and ANSI getItem would throw on them —
+    # NULL is exactly what the old NULL-array path produced.
     s2 = s2a.select(
         "*",
-        F.col("_ng").getItem(4).alias("_ng_status"),
-        F.col("_ng").getItem(2).alias("_ng_time"),
+        F.get("_ng", 4).alias("_ng_status"),
+        F.get("_ng", 2).alias("_ng_time"),
         F.col("_err").getItem(1).alias("_err_level"),
         F.substring(F.col("_err").getItem(0), 2, 1 << 30).alias(
             "_err_time"
