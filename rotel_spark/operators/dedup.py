@@ -322,6 +322,109 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
 
+def _band_bucket_kernel(
+    text_col: str, k: int, num_hashes: int, bands: int
+):
+    """Arrow-batched MinHash band buckets: array<long> of `bands`
+    bucket keys per document (band index folded into each key).
+
+    Same LSH construction as minhash_signature + JVM banding —
+    whitespace-token k-shingles, num_hashes min-wise hash slots,
+    rows_per_band slots combined per band — but the hashing runs as a
+    vectorized numpy kernel: md5 once per UNIQUE token (memo, the
+    simhash64 trick), shingle hashes as a rolling combine of the token
+    hashes, the num_hashes minima via one multiply-add + reduceat per
+    hash function over the batch's concatenated shingle stream. The
+    hash FAMILY differs from the JVM xxhash64 chain (md5-derived
+    affine mixing here), which is free: candidates only gate the
+    exact-Jaccard verify, and recall at the J≥0.8 operating point is
+    1 - (1-J^r)^bands ≈ 1 - 4e-8 for any uniform family (re-proven
+    against the brute-force oracles at every local sf). The
+    per-document work defeats whole-stage codegen in expression form
+    (64 array transforms per row); this kernel is one pass.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows_per_band = num_hashes // bands
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _const(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:16], 16)
+
+    # odd multipliers -> bijective affine maps over Z/2^64
+    mult = np.array(
+        [_const(f"mh:a:{j}") | 1 for j in range(num_hashes)],
+        dtype=np.uint64,
+    )
+    add = np.array(
+        [_const(f"mh:b:{j}") for j in range(num_hashes)], dtype=np.uint64
+    )
+    roll = np.array(
+        [_const(f"mh:r:{i}") | 1 for i in range(k)], dtype=np.uint64
+    )
+    band_mix = np.uint64(_const("mh:bandmix") | 1)
+    band_init = np.array(
+        [_const(f"mh:band:{b}") for b in range(bands)], dtype=np.uint64
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(
+                    hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16
+                )
+                memo[tok] = v
+            return v
+
+        per_doc: list[np.ndarray] = []
+        starts: list[int] = []
+        n = 0
+        for t in texts:
+            toks = [x for x in ws.split((t or "").strip().lower()) if x]
+            h = np.array([th(x) for x in toks], dtype=np.uint64)
+            if len(h) >= k:
+                sh = h[: len(h) - k + 1] * roll[0]
+                for j in range(1, k):
+                    sh = sh + h[j : len(h) - k + 1 + j] * roll[j]
+            else:
+                # shingles() emits ONE shingle (all tokens joined) for
+                # short docs — fold whatever tokens exist
+                acc = np.uint64(_const("mh:short"))
+                for x in h:
+                    acc = (acc * roll[0] + x) & mask
+                sh = np.array([acc], dtype=np.uint64)
+            starts.append(n)
+            n += len(sh)
+            per_doc.append(sh)
+        if not per_doc:
+            return pd.Series([], dtype=object)
+        stream = np.concatenate(per_doc)
+        st = np.array(starts, dtype=np.int64)
+        mins = np.empty((len(per_doc), num_hashes), dtype=np.uint64)
+        for j in range(num_hashes):
+            mins[:, j] = np.minimum.reduceat(
+                stream * mult[j] + add[j], st
+            )
+        buckets = np.empty((len(per_doc), bands), dtype=np.uint64)
+        for b in range(bands):
+            acc = np.full(len(per_doc), band_init[b], dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * band_mix + mins[:, b * rows_per_band + j]
+            buckets[:, b] = acc
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    return _buckets
+
+
 def _lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -332,43 +435,19 @@ def _lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct LSH bucket-collision (id_a, id_b) pairs.
 
-    Same banding as minhash_lsh_pairs, restructured for the self-join:
-    the banded (id, bucket) table is NARROW (two longs — the band index
-    is folded into the bucket hash) and localCheckpointed, so the join
-    shuffles 16 bytes/row once instead of re-running the whole
-    shingle→signature chain on BOTH join sides and shuffling the
-    64-slot signature arrays with every row (measured at sf1.0/50k
-    docs: 5.2 s → the checkpoint+narrow form runs the signature once,
-    ~2 s). The candidate SET is unchanged up to 2^-64 hash collisions
-    (same signature, same band slots; the band index now rides inside
-    the bucket hash instead of a second join column), and the old
-    est-Jaccard filter at threshold 0.0 passed every row (est ∈ [0,1],
-    never null), so dropping it changes nothing.
+    Same banding scheme as minhash_lsh_pairs, restructured for the
+    self-join: buckets come from the vectorized Arrow kernel
+    (_band_bucket_kernel), and the banded (id, bucket) table is NARROW
+    (two longs) and localCheckpointed, so the join shuffles 16
+    bytes/row once instead of re-running the whole shingle→signature
+    chain on BOTH join sides and shuffling the 64-slot signature
+    arrays with every row (measured at sf1.0/50k docs: 5.2 s for the
+    expression form → ~2 s checkpointed → sub-second with the kernel).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, k, num_hashes).select(
-        F.col(id_col).alias("_id"), "minhash"
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    # fold the band index into the bucket hash — one
-                    # join key instead of (band, bucket)
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(
-                                "minhash", b * rows_per_band + j + 1
-                            )
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+    kernel = _band_bucket_kernel(text_col, k, num_hashes, bands)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(kernel(F.col(text_col))).alias("bucket"),
     ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
