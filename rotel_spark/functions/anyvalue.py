@@ -92,20 +92,28 @@ def flatten_typed_attrs(
 
     @F.pandas_udf(T.ArrayType(ATTR_ENTRY))
     def _flatten(col: pd.Series) -> pd.Series:
+        # telemetry attribute payloads repeat heavily (resource attrs
+        # are per-service constants); memoize parse+flatten per batch
+        # on the raw JSON text — entry lists are emitted read-only, so
+        # sharing one object across rows is safe
+        memo: dict[str, list] = {}
         out = []
         for s in col:
-            try:
-                obj = json.loads(s) if s else {}
-            except (ValueError, TypeError):
-                obj = {}
-            if not isinstance(obj, dict):
-                obj = {}
-            out.append(
-                [
+            ent = memo.get(s) if s is not None else None
+            if ent is None:
+                try:
+                    obj = json.loads(s) if s else {}
+                except (ValueError, TypeError):
+                    obj = {}
+                if not isinstance(obj, dict):
+                    obj = {}
+                ent = [
                     {"key": k, "vtype": t, "value": v}
                     for k, t, v in flatten_attrs_obj(obj, max_depth)
                 ]
-            )
+                if s is not None:
+                    memo[s] = ent
+            out.append(ent)
         return pd.Series(out)
 
     return df.withColumn(out_col, _flatten(F.col(json_col)))

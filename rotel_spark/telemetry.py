@@ -550,11 +550,16 @@ def wildcard_regex(pattern: str) -> str:
     Mirrors dim_filter.rs:60-67 (`new_wildcard`): `*` is the only
     metasymbol (matches any span, including empty), `?` is disabled,
     there is no escape character, and matching is case-sensitive over
-    the whole dimension name.
+    the whole dimension name. `(?s)` + `\\z` anchoring matches the
+    reference's full-byte-string semantics for names containing
+    newlines: `*` spans a `\\n` and `$` cannot accept a trailing
+    newline the reference would reject (r5 ADVICE #1).
     """
     import re as _re
 
-    return "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+    return (
+        "(?s)^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "\\z"
+    )
 
 
 def dim_filter_condition(key, includes: list[str], excludes: list[str]):
@@ -575,7 +580,10 @@ def dim_filter_condition(key, includes: list[str], excludes: list[str]):
     if excludes:
         exc = "|".join(f"(?:{wildcard_regex(p)})" for p in excludes)
         cond = cond & ~key.rlike(exc)
-    return cond
+    # NULL names drop uniformly whether or not any list is configured
+    # (rlike(NULL) is NULL → previously dropped only when a list was
+    # non-empty; the reference never sees null names — r5 ADVICE #4)
+    return F.coalesce(cond, F.lit(False))
 
 
 def filter_dimensions(
