@@ -15,7 +15,16 @@ from pyspark.sql import functions as F
 
 def drop_unparsed(df: DataFrame, flag_col: str = "parse_ok") -> DataFrame:
     """Reference semantics: parse errors skip the line, never fail the
-    job (/root/reference/src/receivers/file/receiver.rs:832-836)."""
+    job (/root/reference/src/receivers/file/receiver.rs:832-836).
+
+    Pushdown note: Catalyst pushes this predicate through every
+    *deterministic* projection below, substituting the flag's whole
+    defining expression into the pushed Filter — for parse_auto output
+    that re-runs the multi-format parse per input row. parse_auto
+    therefore defines ``parse_ok`` behind a non-deterministic no-op
+    guard (see auto.py), which blocks push-through at the defining
+    projection; this function stays a plain filter.
+    """
     return df.filter(F.col(flag_col))
 
 

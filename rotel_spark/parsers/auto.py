@@ -209,7 +209,23 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
             sev_num.alias("severity_number"),
             sev_txt.alias("severity_text"),
             ts_ns.alias("time_unix_nano"),
-            (fmt != "unknown").alias("parse_ok"),
+            # Always-true rand() guard = optimizer barrier (guide §4.4
+            # mechanism, expression-level): a downstream
+            # filter(parse_ok) would otherwise be pushed through the
+            # deterministic parse projections, substituting the ENTIRE
+            # detect+capture derivation (html decode + log extract
+            # ~10×, combined regex 2×) into a Filter evaluated per
+            # input row (measured on the 1M-row bench pipeline: parse
+            # stage 2.2 s pushed vs 0.9 s blocked; plan diff in
+            # plans/r06/pipeline_e2e_*). One non-deterministic field
+            # makes Catalyst keep filters above this projection, so
+            # parse columns are computed once. `rand(0) != -1` is
+            # vacuously true (rand ∈ [0,1)) and — unlike `>= -1` —
+            # survives Spark 4's rand range folding; values, schema
+            # and retry-stability are unchanged.
+            F.when(F.rand(0) != F.lit(-1.0), fmt != "unknown")
+            .otherwise(F.lit(False))
+            .alias("parse_ok"),
             line.alias("body"),
         )
         .drop(

@@ -1,0 +1,67 @@
+"""Dump .explain('formatted') for the E2E bench pipeline (guide §7.2).
+Measurement-only helper."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rotel_spark.session import build_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
+
+
+def main():
+    spark = build_spark(
+        app_name="explain_pipeline", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    from rotel_spark.fixtures import (
+        extract_log_line,
+        materialize_pages,
+        tld_registry_sql,
+    )
+    from rotel_spark.functions.urls import tld_of
+    from rotel_spark.operators.filters import drop_unparsed
+    from rotel_spark.parsers.auto import parse_auto
+    from rotel_spark.plans.routing import with_route
+
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    table = f"/tmp/rotel_pages_{tag}_x{REPS}_p256"
+    pages = materialize_pages(spark, SF_DIR, REPS, table, partitions=256)
+    tld_lookup = F.broadcast(
+        spark.sql(tld_registry_sql()).withColumnRenamed("tld", "reg_tld")
+    )
+    df = extract_log_line(pages)
+    parsed = with_route(drop_unparsed(parse_auto(df)))
+    enriched = parsed.withColumn("xtld", tld_of(F.col("url"))).join(
+        tld_lookup, F.col("xtld") == F.col("reg_tld"), "left"
+    )
+    final = enriched.select(
+        "page_id", "url", "domain", "body", "log_source", "status",
+        "severity_number", "severity_text", "time_unix_nano", "route",
+        "domain_partition", "tld_type", "region",
+        F.length("html").alias("html_bytes"),
+    )
+    txt = final._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        final._jdf.queryExecution(), "formatted"
+    )
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pipeline_plan.txt"
+    with open(out, "w") as f:
+        f.write(txt)
+    print(f"wrote {out}")
+    import re
+
+    for pat in (
+        "regexp_extract", "decode", "regexp_replace", "from_json",
+        "try_to_timestamp",
+    ):
+        print(pat, txt.count(pat))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Micro-profile the parse_auto stage (guide §1): ablate each expensive
+expression family on the bench pages table and time with the noop sink.
+Measurement-only helper; not part of the graded bench."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rotel_spark.session import build_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("ROTEL_BENCH_REPS", "200"))
+
+
+def noop(df):
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def timeit(spark, label, df, n=3):
+    spark.sparkContext.setJobDescription(label)
+    s = [noop(df) for _ in range(n)]
+    print(f"{label}: min={min(s):.3f} {[round(x,3) for x in s]}", flush=True)
+
+
+def main():
+    os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
+    spark = build_spark(
+        app_name="profile_parse", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    from rotel_spark.fixtures import extract_log_line, materialize_pages
+
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    table = f"/tmp/rotel_pages_{tag}_x{REPS}_p256"
+    pages = materialize_pages(spark, SF_DIR, REPS, table, partitions=256)
+    lines = extract_log_line(pages).select("page_id", "domain", "raw_line")
+    # materialize raw lines so each ablation times ONLY its expression
+    lines.write.mode("overwrite").parquet("/tmp/profile_lines")
+    raw = spark.read.parquet("/tmp/profile_lines")
+    line = F.col("raw_line")
+
+    from rotel_spark.parsers import json_log, kmsg, nginx
+    from rotel_spark.parsers.capture import capture_all
+
+    timeit(spark, "0-baseline-scan", raw)
+    timeit(
+        spark, "1-pre-probes",
+        raw.select(
+            "page_id",
+            F.when(line.startswith("{"), F.lit("json"))
+            .when(line.rlike(r"^\d+,\d+,\d+(,[^;]*)?;"), F.lit("kmsg"))
+            .when(line.rlike(r"^\d{4}/\d{2}/\d{2} "), F.lit("nginx_error"))
+            .alias("_pre"),
+        ),
+    )
+    timeit(
+        spark, "2-combined-capture-all-rows",
+        raw.select(
+            "page_id", capture_all(line, nginx.COMBINED_PATTERN, 8).alias("c")
+        ),
+    )
+    timeit(
+        spark, "3-from_json-all-rows",
+        raw.select(
+            "page_id",
+            F.from_json(line, json_log.ACCESS_JSON_SCHEMA).alias("j"),
+        ),
+    )
+    timeit(
+        spark, "4-try_to_timestamp-all-rows",
+        raw.select(
+            "page_id",
+            F.try_to_timestamp(
+                F.substring(line, 1, 20), F.lit("dd/MMM/yyyy:HH:mm:ss")
+            ).alias("t"),
+        ),
+    )
+    from rotel_spark.parsers.auto import parse_auto
+
+    timeit(
+        spark, "5-full-parse_auto",
+        parse_auto(raw).select(
+            "page_id", "log_source", "status", "severity_number",
+            "severity_text", "time_unix_nano", "parse_ok",
+        ),
+    )
+    from rotel_spark.plans.routing import with_route
+    from rotel_spark.operators.filters import drop_unparsed
+
+    timeit(
+        spark, "6-parse+route",
+        with_route(drop_unparsed(parse_auto(raw))).select(
+            "page_id", "route", "domain_partition"
+        ),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
