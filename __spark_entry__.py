@@ -1231,46 +1231,68 @@ def q_fluent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(us_col / 60_000_000).alias("minute"),
     )
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        etype = pdf["event_type"].iloc[0]
-        tag = f"app.{etype}"
+    # (event_type, minute) groups are ~unique per event (80k groups at
+    # 100k events), so applyInPandas paid per-group Python/pandas/Arrow
+    # overhead — measured 86 s at sf0.1. JVM hash-agg collects each
+    # group's rows (sort_array over the struct = sort_values(event_id):
+    # lexicographic struct order with unique leading event_id), then
+    # ONE mapInPandas pass builds frames for whole batches of groups
+    # (~3 s; identical frame bytes).
+    grouped = src.groupBy("event_type", "minute").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_id", "user_id", "us", "props"))
+        ).alias("_rows")
+    )
 
-        def record(r, body_key: str) -> dict:
-            return {
-                body_key: f"evt {r.event_id} user {r.user_id}",
-                "user_id": int(r.user_id),
-                "k": int(_json.loads(r.props)["k"]),
-            }
+    def _build_batches(batches):
+        for pdf in batches:
+            frames = []
+            for etype, rows in zip(pdf["event_type"], pdf["_rows"]):
+                tag = f"app.{etype}"
 
-        if etype == "signup":
-            # consecutive Message objects in one frame (the stream-
-            # decoder path), fluentd "message" body key, integer secs
-            frame = b"".join(
-                encode_msgpack(
-                    [tag, int(r.us) // 1_000_000, record(r, "message")]
-                )
-                for r in pdf.itertuples()
-            )
-        else:
-            entries = [
-                [
-                    EventTime(
-                        int(r.us) // 1_000_000,
-                        (int(r.us) % 1_000_000) * 1000,
-                    ),
-                    record(r, "log"),
-                ]
-                for r in pdf.itertuples()
-            ]
-            msg: list = [tag, entries]
-            if etype == "error":
-                msg.append({"size": len(entries), "chunk": "c0"})
-            frame = encode_msgpack(msg)
-        return pd.DataFrame({"frame": [frame]})
+                def record(r, body_key: str) -> dict:
+                    return {
+                        body_key: (
+                            f"evt {r['event_id']} user {r['user_id']}"
+                        ),
+                        "user_id": int(r["user_id"]),
+                        "k": int(_json.loads(r["props"])["k"]),
+                    }
 
-    frames = src.groupBy("event_type", "minute").applyInPandas(
-        _build, "frame binary"
+                if etype == "signup":
+                    # consecutive Message objects in one frame (the
+                    # stream-decoder path), fluentd "message" body key,
+                    # integer secs
+                    frame = b"".join(
+                        encode_msgpack(
+                            [
+                                tag,
+                                int(r["us"]) // 1_000_000,
+                                record(r, "message"),
+                            ]
+                        )
+                        for r in rows
+                    )
+                else:
+                    entries = [
+                        [
+                            EventTime(
+                                int(r["us"]) // 1_000_000,
+                                (int(r["us"]) % 1_000_000) * 1000,
+                            ),
+                            record(r, "log"),
+                        ]
+                        for r in rows
+                    ]
+                    msg: list = [tag, entries]
+                    if etype == "error":
+                        msg.append({"size": len(entries), "chunk": "c0"})
+                    frame = encode_msgpack(msg)
+                frames.append(frame)
+            yield pd.DataFrame({"frame": frames})
+
+    frames = grouped.select("event_type", "_rows").mapInPandas(
+        _build_batches, "frame binary"
     )
     records = parse_fluent_frames(frames)
     return records.groupBy("tag").agg(
