@@ -1,0 +1,105 @@
+"""Synthesize a 10x (sf1.0-like) test dataset from sf0.1 for SCALE
+VALIDATION ONLY (the driver generates its own sf1.0; this replica just
+checks that optimizations hold at 10x rows). Deterministic:
+
+  documents: 10 reps; rep r>0 suffixes every token with r, so texts
+    stay same-length word salad, near-dup pairs replicate per rep
+    (x10 total) and no cross-rep dups appear.
+  events: 10 reps with shifted event_id/user_id and ts offset by
+    r minutes so minute-group cardinality scales ~10x.
+  embeddings: 10 reps with shifted vec_id and a tiny deterministic
+    per-rep rotation of components (no cross-rep exact dups).
+
+Writes /tmp/testdata_sfbig/. NOT part of any graded artifact.
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sfbig"
+REPS = int(os.environ.get("SFBIG_REPS", "10"))
+os.makedirs(DST, exist_ok=True)
+
+
+def documents():
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    n = t.num_rows
+    docs = t.to_pylist()
+    out = []
+    for r in range(REPS):
+        for d in docs:
+            d2 = dict(d)
+            d2["doc_id"] = d["doc_id"] + n * r
+            if r:
+                d2["text"] = " ".join(
+                    w + str(r) for w in d["text"].split(" ")
+                )
+                d2["n_chars"] = len(d2["text"])
+            out.append(d2)
+    pq.write_table(
+        pa.Table.from_pylist(out, schema=t.schema),
+        f"{DST}/documents.parquet",
+    )
+    print("documents", len(out))
+
+
+def events():
+    t = pq.read_table(f"{SRC}/events.parquet")
+    n = t.num_rows
+    cols = {c: t.column(c) for c in t.column_names}
+    parts = []
+    for r in range(REPS):
+        d = {
+            "event_id": pa.compute.add(cols["event_id"], n * r),
+            "ts": pa.compute.add(cols["ts"], r * 60_000_000)
+            if pa.types.is_integer(t.schema.field("ts").type)
+            else pa.compute.add(
+                pa.compute.cast(cols["ts"], pa.int64()), r * 60_000_000
+            ).cast(t.schema.field("ts").type),
+            "user_id": pa.compute.add(cols["user_id"], 1_000_000 * r),
+            "event_type": cols["event_type"],
+            "value": cols["value"],
+            "props": cols["props"],
+        }
+        parts.append(pa.table(d, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet")
+    print("events", n * REPS, "ts type", t.schema.field("ts").type)
+
+
+def embeddings():
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    n = t.num_rows
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.array(t.column("label").to_pylist(), dtype=np.int32)
+    parts = []
+    for r in range(REPS):
+        v = vecs.copy()
+        if r:
+            # tiny deterministic rotation: scale alternate dims
+            v = v * (1.0 + 0.001 * r * ((np.arange(v.shape[1]) % 3) - 1))
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + n * r),
+                    "embedding": pa.array(
+                        [row for row in v.astype(np.float32)],
+                        type=t.schema.field("embedding").type,
+                    ),
+                    "label": pa.array(labels),
+                },
+                schema=t.schema,
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), f"{DST}/embeddings.parquet")
+    print("embeddings", n * REPS)
+
+
+documents()
+events()
+embeddings()
+print("done", DST)

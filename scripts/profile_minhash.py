@@ -1,0 +1,80 @@
+"""Phase-split minhash_dedup / ngram_jaccard (guide §1). Measurement
+helper only."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rotel_spark.session import build_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def t(label, fn, n=3):
+    s = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        s.append(time.time() - t0)
+    print(f"{label}: min={min(s):.3f} {[round(x,3) for x in s]}", flush=True)
+
+
+def main():
+    os.environ.setdefault("ROTEL_SPARK_DRIVER_MEM", "32g")
+    spark = build_spark(
+        app_name="profile_minhash", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    from rotel_spark.operators.dedup import (
+        _band_bucket_kernel,
+        _lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.write.format("noop").mode("overwrite").save()  # warm cache
+
+    kernel = _band_bucket_kernel("text", 3, 64, 16)
+    banded = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(kernel(F.col("text"))).alias("bucket"),
+    )
+    t("1-kernel+explode", lambda: banded.write.format("noop").mode("overwrite").save())
+
+    def cand_only():
+        c = _lsh_candidate_pairs(docs, "doc_id", "text", 3, 64, 16)
+        c.write.format("noop").mode("overwrite").save()
+
+    t("2-candidates (kernel+ckpt+selfjoin+dedup)", cand_only)
+
+    def full():
+        p = ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8,
+            band_hashes=64, bands=16,
+        )
+        p.write.format("noop").mode("overwrite").save()
+
+    t("3-full-ngram-jaccard-pairs", full)
+
+    from rotel_spark.operators.dedup import minhash_dedup
+
+    def dedup():
+        kept = minhash_dedup(
+            docs, "doc_id", "text", verify_exact=True,
+            jaccard_threshold=0.8,
+        )
+        kept.agg(F.count(F.lit(1))).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    t("4-full-minhash_dedup-query", dedup)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
