@@ -20,12 +20,13 @@ between url-level dedup and tokenization:
 Scale design (100 TB): both are explode → hash-partitioned groupBy
 chains of pure JVM expressions (split / slice / transform / explode /
 collect_list) — no Python in the path, map-side partial aggregation
-throughout.  ``block_dedup``'s global argmin shuffles (block_text)
-once and (doc_id) once; blocks are short fixed-size strings so the
-shuffle rows are narrow.  Hot identical blocks (boilerplate headers)
-concentrate on one reducer only for the tiny argmin agg, never for
-row payloads.  ``doc_chunks`` is embarrassingly parallel (no shuffle
-at all — chunk rows stay in their input partition).
+throughout.  ``block_dedup`` shuffles (block, doc_id) metadata rows
+once, the tiny per-block argmin once, and (doc_id) once; blocks are
+short fixed-size strings so the shuffle rows are narrow, and hot
+identical blocks (boilerplate headers) hit a single reducer only via
+the map-side-combined argmin and the AQE-split join-back (see the
+block_dedup docstring).  ``doc_chunks`` is embarrassingly parallel
+(no shuffle at all — chunk rows stay in their input partition).
 
 The n-gram / sequence trap (memory note): ``sequence(0, n-1)`` emits a
 DESCENDING range when n = 0, so empty docs are guarded with
@@ -67,27 +68,50 @@ def block_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     A block instance is kept iff (doc_id, bidx) is the global minimum
     over all instances of the same block text; docs whose every block
     is removed still emit a row (clean_text = '').
+
+    Skew note (r5 verdict #4): the earlier form joined EVERY instance
+    row back on block text, so a hot boilerplate block concentrated
+    all its instance rows on one join reducer.  Instances are now
+    pre-aggregated per (block, doc_id) — count + min ord — before the
+    join: in-doc repeats collapse map-side, the join-back carries one
+    narrow metadata row per (block, doc) (guide §2.3 'shuffle keys
+    and metadata instead of payloads'), and the (block, doc_id) agg
+    key itself has no single-key hotspot.  A block appearing in very
+    many DOCS still shares one join key — that residual partition
+    skew is within AQE skew-join's split mechanism (enabled in
+    session.py).  Equivalence: at most one instance per block
+    survives globally (its ord equals the global min), so per
+    (block, doc) it suffices to know the instance count and the min
+    ord — kept/dup counts and the surviving (bidx, block) pairs are
+    reconstructed exactly.
     """
     inst = _blocks(docs, text_col).withColumn(
         "ord", F.col("doc_id") * _ORD + F.col("bidx")
     )
-    first = inst.groupBy("block").agg(F.min("ord").alias("first_ord"))
-    flagged = inst.join(first, "block").withColumn(
-        "keep", F.col("ord") == F.col("first_ord")
+    per = inst.groupBy("block", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("ord").alias("min_ord"),
+    )
+    first = per.groupBy("block").agg(
+        F.min("min_ord").alias("first_ord")
+    )
+    flagged = per.join(first, "block").withColumn(
+        "keep", F.col("min_ord") == F.col("first_ord")
     )
     kept_struct = F.when(
-        F.col("keep"), F.struct(F.col("bidx"), F.col("block"))
+        F.col("keep"),
+        F.struct(
+            (F.col("min_ord") % _ORD).cast("int").alias("bidx"),
+            F.col("block"),
+        ),
+    )
+    n_dup = F.sum(
+        F.col("cnt") - F.when(F.col("keep"), 1).otherwise(0)
     )
     return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_blocks"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-        .cast("int")
-        .alias("n_dup_blocks"),
-        F.round(
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("dup_frac"),
+        F.sum("cnt").cast("int").alias("n_blocks"),
+        n_dup.cast("int").alias("n_dup_blocks"),
+        F.round(n_dup / F.sum("cnt"), 6).alias("dup_frac"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)),
