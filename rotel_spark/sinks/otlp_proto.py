@@ -28,6 +28,7 @@ A decoder for the same subset enables lossless round-trip tests.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -142,12 +143,14 @@ def encode_export_request(resource_logs: list[bytes]) -> bytes:
 # types in src/topology/payload.rs:680-686 via prost.
 
 
-def _double_field(field: int, x: float) -> bytes:
-    import struct
+_PACK_D = struct.Struct("<d").pack
+_UNPACK_D = struct.Struct("<d").unpack
 
+
+def _double_field(field: int, x: float) -> bytes:
     if x == 0.0:
         return b""
-    return _tag(field, 1) + struct.pack("<d", x)
+    return _tag(field, 1) + _PACK_D(x)
 
 
 def _bytes_field(field: int, b: bytes) -> bytes:
@@ -350,9 +353,7 @@ def encode_export_metrics_request(resource_metrics: list[bytes]) -> bytes:
 
 
 def _decode_double(v: int) -> float:
-    import struct
-
-    return struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+    return _UNPACK_D(int(v).to_bytes(8, "little"))[0]
 
 
 def _decode_datapoint(buf: bytes, metric_type: str) -> dict:

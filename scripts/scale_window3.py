@@ -87,8 +87,17 @@ def collect(arm: str) -> None:
     out_path.parent.mkdir(exist_ok=True)
     existing = 0
     if out_path.exists():
-        done = {json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()}
-        existing = max(done) + 1 if done else 0
+        from collections import Counter
+
+        counts = Counter(
+            json.loads(ln)["pair"] for ln in open(out_path) if ln.strip()
+        )
+        # appends happen only after a full pair, so every resumed pair
+        # must carry its 4 samples — assert it (r5 advice: a partial
+        # pair would otherwise be skipped yet consumed by load_pairs)
+        bad = {p: c for p, c in counts.items() if c != 4}
+        assert not bad, f"incomplete pairs in {out_path}: {bad}"
+        existing = max(counts) + 1 if counts else 0
     rounds = REGISTERED_PAIRS - existing
     if rounds <= 0:
         print(f"pool {out_path.name} already holds the registered "
@@ -132,8 +141,9 @@ def report() -> dict:
     if len(widths) < 2:
         print("no window-3 samples")
         return {}
-    w_ref = sorted(set(widths), reverse=True)[1] if len(set(widths)) > 1 \
-        else widths[0]
+    # second-highest READING literally (r5 advice: set() deduped a
+    # repeated max and picked a lower reference than registered)
+    w_ref = sorted(widths, reverse=True)[1]
     thresh = GATE * w_ref
     out = {"w_max": round(max(widths), 2), "w_ref_second_max": round(w_ref, 2),
            "gate": round(thresh, 2)}

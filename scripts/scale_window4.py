@@ -67,8 +67,17 @@ def collect() -> None:
     POOL.parent.mkdir(exist_ok=True)
     existing = 0
     if POOL.exists():
-        done = {json.loads(ln)["pair"] for ln in open(POOL) if ln.strip()}
-        existing = max(done) + 1 if done else 0
+        from collections import Counter
+
+        counts = Counter(
+            json.loads(ln)["pair"] for ln in open(POOL) if ln.strip()
+        )
+        # appends happen only after a full pair, so every resumed pair
+        # must carry its 4 samples — assert it (r5 advice: a partial
+        # pair would otherwise be skipped yet consumed by load_pairs)
+        bad = {p: c for p, c in counts.items() if c != 4}
+        assert not bad, f"incomplete pairs in {POOL}: {bad}"
+        existing = max(counts) + 1 if counts else 0
     if REGISTERED_PAIRS - existing <= 0:
         print(f"pool {POOL.name} already holds the registered "
               f"{REGISTERED_PAIRS} pairs; refusing to top up")
@@ -106,8 +115,9 @@ def report() -> dict:
         if ln.strip():
             s = json.loads(ln)
             widths += [s["width_before"], s["width_after"]]
-    w_ref = sorted(set(widths), reverse=True)[1] if len(set(widths)) > 1 \
-        else widths[0]
+    # second-highest READING literally (r5 advice: set() deduped a
+    # repeated max and picked a lower reference than registered)
+    w_ref = sorted(widths, reverse=True)[1]
     thresh = GATE * w_ref
     n_pairs = len({json.loads(ln)["pair"] for ln in open(POOL) if ln.strip()})
     out = {"w_max": round(max(widths), 2), "w_ref_second_max": round(w_ref, 2),
