@@ -84,6 +84,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table spread across cores — same single-file scan trap
+    as _docs (guide §2.5 input skew): a one-task scan serializes any
+    mapInPandas codec stage chained straight onto it (measured:
+    xray_segment 4.4 s single-task → 1.3 s spread). Queries whose
+    first shuffle comes later (aggregate-first shapes) read the raw
+    scan instead and skip the repartition."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_grok_nginx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex grok of nginx combined lines → typed fields + parsed
     timestamp (reference nginx.rs:53 pattern, :40 time format)."""
@@ -795,6 +807,10 @@ def q_otlp_trace_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree = spans_to_resource_tree(
         events_to_spans(events), max_spans_per_resource=512
     )
+    # the tree's window/groupBy leaves one partition per service (4
+    # here) — spread the ~hundreds of chunk rows so the Python proto
+    # encode+decode run on every core, not 4 (guide §2.5)
+    tree = tree.repartition(spark.sparkContext.defaultParallelism)
     reqs = to_export_trace_request_proto(tree)
 
     def _decode(batches):
@@ -1318,7 +1334,7 @@ def q_xray_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rotel_spark.sinks.xray import spans_to_segments
     from rotel_spark.telemetry import events_to_spans
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     spans = events_to_spans(events)
     status = (
         F.when(F.col("name") == "error", F.lit("500"))
@@ -1593,7 +1609,7 @@ def q_json_attrs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_json_column,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     nested = F.concat(
         F.lit('{"http":{"status":'),
