@@ -1307,9 +1307,11 @@ def q_fluent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames.append(frame)
             yield pd.DataFrame({"frame": frames})
 
-    frames = grouped.select("event_type", "_rows").mapInPandas(
-        _build_batches, "frame binary"
-    )
+    # explicit repartition: AQE otherwise coalesces the small post-agg
+    # shuffle to one partition and serializes the Python frame build
+    frames = grouped.select("event_type", "_rows").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_build_batches, "frame binary")
     records = parse_fluent_frames(frames)
     return records.groupBy("tag").agg(
         F.count(F.lit(1)).alias("n_records"),

@@ -637,6 +637,12 @@ def to_export_metrics_request_proto(datapoints: DataFrame) -> DataFrame:
     g = datapoints.groupBy(
         "service", "event_type", "ts_minute_nano"
     ).agg(F.collect_list("value").alias("_vals"))
+    # AQE coalesces the small post-agg shuffle (~MBs) to ONE partition,
+    # which would serialize the Python encode below; an explicit
+    # repartition is honored by AQE and keeps the encode on every core
+    g = g.repartition(
+        datapoints.sparkSession.sparkContext.defaultParallelism
+    )
 
     def _encode(
         batches: Iterator["pd.DataFrame"],
