@@ -1067,7 +1067,7 @@ def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     'true', array/deep-map → compact JSON, null skipped."""
     from rotel_spark.functions.anyvalue import flatten_typed_attrs
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     nested = F.concat(
         F.lit('{"http":{"status":'),
@@ -1102,7 +1102,7 @@ def q_typed_attrs_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_attrs_map,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     nested = F.concat(
         F.lit('{"evt":{"kind":"'),
