@@ -117,17 +117,19 @@ def main() -> int:
         ),
         (
             "fluent_parse",
-            "expect: one applyInPandas frame-build (groupBy shuffle "
-            "on the frame key is the receiver's framing, bounded "
-            "per group) then mapInPandas decode; aggregates JVM "
-            "partial/final.",
+            "expect: JVM collect_list hash-agg on the frame key "
+            "(the receiver's framing, bounded per group), an explicit "
+            "repartition keeping the Python stage wide, then ONE "
+            "mapInPandas frame-build + mapInPandas decode; "
+            "aggregates JVM partial/final.",
         ),
         (
             "block_dedup",
             "expect: generate/explode of JVM block expressions, one "
-            "Exchange on block text for the argmin, one on doc_id "
-            "for the rollup — shuffle rows are (block, ord) pairs, "
-            "never full documents; no Python anywhere.",
+            "Exchange on (block, doc_id) metadata rows (cnt, min_ord "
+            "— in-doc repeats collapse map-side), the tiny per-block "
+            "argmin, one Exchange on doc_id for the rollup — never "
+            "full documents; no Python anywhere.",
         ),
         (
             "doc_chunks",
