@@ -48,12 +48,14 @@ def write_routed(
     tail-amortization but produces cores×8×routes tiny files — file
     open/commit overhead dominated the measured write (3.5 s for 768
     ~60 KB files vs 1.4 s for 192 files at 1M rows). Coalesce the
-    write to ROTEL_WRITE_TASKS (default 2×defaultParallelism: every
-    core busy, 2 waves, 4× fewer files). coalesce() only ever REDUCES
-    partition count, so small inputs are untouched; at cluster scale
-    2×total-cores write tasks is the same sizing rule (files ≈
-    bytes/(2·cores·routes), further split by maxRecordsPerFile), not a
-    local[32] constant.
+    write to ROTEL_WRITE_TASKS (default defaultParallelism: one wave
+    of writers, 8× fewer files than the scan; interleaved A/B at BOTH
+    1M and 10M rows put 1× ahead of 2× — 1.14 s vs 1.68 s and 5.82 s
+    vs 6.14 s — commit/open overhead shrinks faster than the lost
+    second wave costs). coalesce() only ever REDUCES partition count,
+    so small inputs are untouched; at cluster scale total-cores write
+    tasks is the same sizing rule (files ≈ bytes/(cores·routes),
+    further split by maxRecordsPerFile), not a local[32] constant.
     """
     import os
 
@@ -66,7 +68,7 @@ def write_routed(
         target = int(
             os.environ.get(
                 "ROTEL_WRITE_TASKS",
-                2 * spark.sparkContext.defaultParallelism,
+                spark.sparkContext.defaultParallelism,
             )
         )
         if target > 0:
