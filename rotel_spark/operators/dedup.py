@@ -482,6 +482,18 @@ def ngram_jaccard_pairs(
     on |candidate ids| docs instead of twice over the whole corpus.
     Inner joins on candidate ids — the pair set and per-pair values are
     unchanged.
+
+    Set arithmetic (guide §1.2 per-task work, §2.3 narrower types):
+    shingle STRINGS are xxhash64'd to longs before the distinct-set
+    build, so the per-pair intersection compares 8-byte longs instead
+    of ~30-byte strings and the twice-joined shingle table shuffles
+    long arrays; |A∪B| is derived as |A|+|B|−|A∩B| (exact for the
+    distinct arrays) instead of materializing array_union per pair.
+    Jaccard over hashed shingles equals Jaccard over the strings
+    unless xxhash64 collides within a compared pair (P ≈ n²/2⁶⁴ ≈
+    1e-13 per pair — the same public-LSH collision budget the banding
+    recall argument already accepts; re-proven against the
+    string-shingle brute-force DuckDB oracles at every local sf).
     """
     cand = _lsh_candidate_pairs(
         df, id_col, text_col, k, band_hashes, bands
@@ -496,16 +508,28 @@ def ngram_jaccard_pairs(
     )
     sh = pruned.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    )
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).withColumn("n", F.size("sh"))
     j = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(
+            sh.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("sh", "sh_a")
+            .withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("sh", "sh_b")
+            .withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b"))
         )
         .withColumn(
-            "uni", F.size(F.array_union("sh_a", "sh_b"))
+            "uni", F.col("n_a") + F.col("n_b") - F.col("inter")
         )
         .withColumn(
             "jaccard",
