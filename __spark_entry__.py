@@ -783,11 +783,15 @@ def q_span_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emf_metrics_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics pipeline: events → datapoints → EMF grouping by
     (namespace, dimension set, timestamp) (awsemf/transformer.rs:46-75)
-    on a real metric row shape."""
-    from rotel_spark.telemetry import emf_group_datapoints, events_to_datapoints
+    on a real metric row shape. Runs the fused composition
+    (telemetry.emf_group_events): same group rule and byte-identical
+    output as emf_group_datapoints(events_to_datapoints(events)), with
+    the string dimensions built post-agg so the shuffle carries narrow
+    keys (guide §2.3)."""
+    from rotel_spark.telemetry import emf_group_events
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return emf_group_datapoints(events_to_datapoints(events))
+    return emf_group_events(events)
 
 
 def q_otlp_trace_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

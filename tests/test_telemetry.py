@@ -440,3 +440,24 @@ def test_emf_document_dimension_filter(spark, sf_unit):
     for r in docs:
         assert '"Dimensions":[["service"]]' in r.emf_json
         assert '"event_type":' in r.emf_json  # label field survives
+
+
+def test_emf_group_events_matches_generic_composition(spark, sf_unit):
+    """The fused events→EMF-groups operator must be row-identical to
+    emf_group_datapoints(events_to_datapoints(events)), including on a
+    NULL event_type row (where metric_name concat propagates NULL and
+    n_metrics must be 0)."""
+    from rotel_spark.telemetry import emf_group_events
+
+    ev = _events(spark, sf_unit)
+    null_row = ev.limit(1).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    ev = ev.unionByName(null_row)
+    generic = emf_group_datapoints(events_to_datapoints(ev))
+    fused = emf_group_events(ev)
+    cols = generic.columns
+    assert fused.columns == cols
+    a = sorted(map(tuple, generic.collect()), key=repr)
+    b = sorted(map(tuple, fused.select(*cols).collect()), key=repr)
+    assert a == b
