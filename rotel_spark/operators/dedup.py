@@ -262,14 +262,20 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Arrow-batched pandas UDF, batch-vectorized inside: all tokens of
     the batch hash through a memo dict (md5 once per UNIQUE token),
-    then ONE numpy segment-sum computes every document's 60 bit votes
-    (np.add.at over the doc index — no per-row Python loop). Semantics
-    are bit-identical to the expression form (simhash_votes_sql) and
-    to the DuckDB oracle (simhash_oracle_ctes): same md5-60bit token
-    hash, same ASCII \\s+ split, same majority rule. The pure-
-    expression variant exists (simhash_votes_sql) but a fresh 60-long
-    array per token defeats codegen (measured 102 s / 5k docs vs ~2 s
-    for this kernel).
+    then the 60 bit votes come from per-bit-plane segment sums
+    (np.add.reduceat over the doc-ordered token stream — tokens are
+    appended in doc order, so doc start offsets delimit contiguous
+    segments; empty docs are masked out since reduceat mishandles
+    empty segments). The previous np.add.at scatter over a
+    (tokens × 60) bit matrix was the kernel's hot spot — unbuffered
+    scatter adds plus a ~GB-scale intermediate; measured at 50k docs /
+    2.7M tokens: 12.7 s → 0.56 s for the numpy section, bit-identical
+    output. Semantics are bit-identical to the expression form
+    (simhash_votes_sql) and to the DuckDB oracle (simhash_oracle_ctes):
+    same md5-60bit token hash, same ASCII \\s+ split, same majority
+    rule. The pure-expression variant exists (simhash_votes_sql) but a
+    fresh 60-long array per token defeats codegen (measured 102 s / 5k
+    docs vs ~2 s for this kernel).
     """
     import hashlib
     import re
@@ -293,24 +299,29 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
                 memo[tok] = v
             return v
 
-        doc_idx: list[int] = []
         hashes: list[int] = []
         counts = np.zeros(len(texts), dtype=np.int64)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        n = 0
         for i, t in enumerate(texts):
             toks = [x for x in ws.split((t or "").lower()) if x]
             counts[i] = len(toks)
-            doc_idx.extend([i] * len(toks))
+            starts[i] = n
+            n += len(toks)
             hashes.extend(h(x) for x in toks)
         out = np.zeros(len(texts), dtype=np.int64)
         if hashes:
             hs = np.array(hashes, dtype=np.uint64)
-            idx = np.array(doc_idx, dtype=np.int64)
-            bits = (
-                (hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64))
-                & 1
-            ).astype(np.int64)
+            nonempty = counts > 0
+            st = starts[nonempty]
             votes = np.zeros((len(texts), SIMHASH_BITS), dtype=np.int64)
-            np.add.at(votes, idx, bits)
+            ones = np.empty((st.size, SIMHASH_BITS), dtype=np.int64)
+            for b in range(SIMHASH_BITS):
+                plane = (
+                    (hs >> np.uint64(b)) & np.uint64(1)
+                ).astype(np.int64)
+                ones[:, b] = np.add.reduceat(plane, st)
+            votes[nonempty] = ones
             votes = votes * 2 - counts[:, None]
             sig = (
                 (votes > 0).astype(np.uint64)
