@@ -246,6 +246,9 @@ def register_documents(
     df.createOrReplaceTempView("documents")
 
 
+_PAGES_DF_CACHE: dict = {}
+
+
 def pages_cache_path(base: str, sf_dir: str, reps: int) -> str:
     """Canonical path of a materialized pages table under `base`."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -271,7 +274,22 @@ def load_pages(
     if cache_base:
         p = pages_cache_path(cache_base, sf_dir, reps)
         if os.path.exists(os.path.join(p, "_SUCCESS")):
-            return spark.read.parquet(p)
+            # Reuse the scan DataFrame per (session, path): it is an
+            # immutable unresolved plan over a _SUCCESS-finalized dir
+            # (materialize_pages never rewrites one), and re-creating
+            # it pays footer/schema re-inference plus py4j round trips
+            # on EVERY query construction. No data is cached — only
+            # the plan object, exactly like the expression caches in
+            # parsers.auto/nginx. The value keeps a strong ref to its
+            # session so an id() can never be reused by a successor
+            # session while the entry exists.
+            key = (id(spark), p)
+            hit = _PAGES_DF_CACHE.get(key)
+            if hit is not None and hit[0] is spark:
+                return hit[1]
+            df = spark.read.parquet(p)
+            _PAGES_DF_CACHE[key] = (spark, df)
+            return df
     fast = reps > 64
     register_documents(
         spark,

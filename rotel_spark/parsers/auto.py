@@ -59,17 +59,27 @@ def detect_format(line) -> "F.Column":  # type: ignore[name-defined]
     )
 
 
-def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
-    """One-pass multi-format parse into the unified record shape."""
+# Per-process cache of the stage Column expressions, keyed by the line
+# column name. A Column is an immutable UNRESOLVED expression tree —
+# reusing one across DataFrames/plans is exactly as safe as reusing the
+# pattern string it was built from (no data, schema or session state is
+# captured; the JVM gateway is per-process). Why: building these trees
+# costs ~2,800 py4j ROUND TRIPS per call (every F.when/F.col/.alias is
+# a socket round trip — profiled 0.5-0.6 s per query construction,
+# >half the wall time of the small parse queries at sf0.1), paid again
+# for every query the driver/bench constructs. Build once per process,
+# reuse forever — the regex-compile idiom at the expression layer
+# (guide §7.3: planning/driver-side overhead is real job time).
+_STAGE_EXPRS: dict[str, dict] = {}
+
+
+def _stage_exprs(line_col: str) -> dict:
+    cached = _STAGE_EXPRS.get(line_col)
+    if cached is not None:
+        return cached
+    from .capture import capture_all, capture_ok
+
     line = F.col(line_col)
-
-    # output names win over any same-named input columns (withColumn
-    # overwrite semantics)
-    df = df.drop(
-        "log_source", "status", "severity_number", "severity_text",
-        "time_unix_nano", "parse_ok", "body",
-    )
-
     # stage 1: cheap structural probes claim json/kmsg/nginx_error; the
     # remaining rows go straight to the combined capture and the
     # 'nginx' / 'unknown' verdict rides the capture result (capture_ok
@@ -80,14 +90,11 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     # regexp_replace. Measured at 10M rows / 7M nginx: detect+capture
     # 2.5 s → 2.0 s with the single evaluation; detection counts
     # identical on every format including garbage lines.
-    from .capture import capture_all, capture_ok
-
     pre = (
         F.when(line.startswith("{"), F.lit("json"))
         .when(line.rlike(r"^\d+,\d+,\d+(,[^;]*)?;"), F.lit("kmsg"))
         .when(line.rlike(r"^\d{4}/\d{2}/\d{2} "), F.lit("nginx_error"))
     )
-    s1 = df.select("*", pre.alias("_pre"))
 
     # stage 2: raw field extraction, guarded per format — a row only
     # pays its own format's parse, and each format's regex runs ONCE
@@ -100,8 +107,7 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     def only(f, expr):
         return F.when(F.col("_pre") == f, expr)
 
-    s2a = s1.select(
-        "*",
+    s2a_cols = [
         F.when(
             F.col("_pre").isNull(),
             capture_all(line, nginx.COMBINED_PATTERN, 8),
@@ -113,23 +119,19 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         only("json", F.from_json(line, json_log.ACCESS_JSON_SCHEMA)).alias(
             "_j"
         ),
-    )
-    s2a = s2a.select(
-        "*",
-        F.coalesce(
-            F.col("_pre"),
-            F.when(capture_ok(F.col("_ng"), 8), F.lit("nginx")).otherwise(
-                F.lit("unknown")
-            ),
-        ).alias("log_source"),
-    ).drop("_pre")
+    ]
+    log_source = F.coalesce(
+        F.col("_pre"),
+        F.when(capture_ok(F.col("_ng"), 8), F.lit("nginx")).otherwise(
+            F.lit("unknown")
+        ),
+    ).alias("log_source")
     fmt = F.col("log_source")
     # groups ≥2 are plain array slots; group 1 carries the match MARK.
     # _ng slots use F.get (NULL out-of-bounds): unmatched lines keep a
     # 1-element capture array and ANSI getItem would throw on them —
     # NULL is exactly what the old NULL-array path produced.
-    s2 = s2a.select(
-        "*",
+    s2_cols = [
         F.get("_ng", 4).alias("_ng_status"),
         F.get("_ng", 2).alias("_ng_time"),
         F.col("_err").getItem(1).alias("_err_level"),
@@ -138,7 +140,7 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         ),
         F.substring(F.col("_km").getItem(0), 2, 1 << 30).alias("_km_prio"),
         F.col("_km").getItem(2).alias("_km_usec"),
-    ).drop("_ng", "_err", "_km")
+    ]
 
     # stage 3: typed fields + severity + timestamp from the raw columns
     status = (
@@ -148,14 +150,10 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         )
         .when(fmt == "json", F.col("_j.status"))
         .otherwise(F.lit(None).cast("int"))
-    )
-    s3 = s2.select(
-        "*",
-        status.alias("status"),
-        F.when(F.col("_km_prio") != "", F.col("_km_prio").cast("int")).alias(
-            "_prio"
-        ),
-    )
+    ).alias("status")
+    prio = F.when(
+        F.col("_km_prio") != "", F.col("_km_prio").cast("int")
+    ).alias("_prio")
 
     sev_num = (
         F.when(
@@ -165,7 +163,7 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         .when(fmt == "nginx_error", level_to_severity_number(F.col("_err_level")))
         .when(fmt == "kmsg", kmsg_prio_to_severity_number(F.col("_prio")))
         .otherwise(F.lit(0))
-    )
+    ).alias("severity_number")
     sev_txt = (
         F.when(
             fmt.isin("nginx", "json"),
@@ -174,7 +172,7 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
         .when(fmt == "nginx_error", level_to_severity_text(F.col("_err_level")))
         .when(fmt == "kmsg", kmsg_prio_to_severity_text(F.col("_prio")))
         .otherwise(F.lit(""))
-    )
+    ).alias("severity_text")
     # format is already known per branch — a single try_to_timestamp
     # per row, not the generic fallback chain (each chain miss is an
     # internally-caught exception; measured 47s/1M rows vs ~5s single)
@@ -202,32 +200,54 @@ def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
             ),
         )
         .otherwise(F.lit(None).cast("long"))
+    ).alias("time_unix_nano")
+    # Always-true rand() guard = optimizer barrier (guide §4.4
+    # mechanism, expression-level): a downstream filter(parse_ok)
+    # would otherwise be pushed through the deterministic parse
+    # projections, substituting the ENTIRE detect+capture derivation
+    # (html decode + log extract ~10×, combined regex 2×) into a
+    # Filter evaluated per input row (measured on the 1M-row bench
+    # pipeline: parse stage 2.2 s pushed vs 0.9 s blocked; plan diff
+    # in plans/r06/pipeline_e2e_*). One non-deterministic field makes
+    # Catalyst keep filters above this projection, so parse columns
+    # are computed once. `rand(0) != -1` is vacuously true
+    # (rand ∈ [0,1)) and — unlike `>= -1` — survives Spark 4's rand
+    # range folding; values, schema and retry-stability are unchanged.
+    parse_ok = (
+        F.when(F.rand(0) != F.lit(-1.0), fmt != "unknown")
+        .otherwise(F.lit(False))
+        .alias("parse_ok")
     )
+    cached = {
+        "pre": pre.alias("_pre"),
+        "s2a_cols": s2a_cols,
+        "log_source": log_source,
+        "s2_cols": s2_cols,
+        "s3_cols": [status, prio],
+        "final_cols": [sev_num, sev_txt, ts_ns, parse_ok,
+                       line.alias("body")],
+    }
+    _STAGE_EXPRS[line_col] = cached
+    return cached
+
+
+def parse_auto(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
+    """One-pass multi-format parse into the unified record shape."""
+    x = _stage_exprs(line_col)
+
+    # output names win over any same-named input columns (withColumn
+    # overwrite semantics)
+    df = df.drop(
+        "log_source", "status", "severity_number", "severity_text",
+        "time_unix_nano", "parse_ok", "body",
+    )
+    s1 = df.select("*", x["pre"])
+    s2a = s1.select("*", *x["s2a_cols"])
+    s2a = s2a.select("*", x["log_source"]).drop("_pre")
+    s2 = s2a.select("*", *x["s2_cols"]).drop("_ng", "_err", "_km")
+    s3 = s2.select("*", *x["s3_cols"])
     return (
-        s3.select(
-            "*",
-            sev_num.alias("severity_number"),
-            sev_txt.alias("severity_text"),
-            ts_ns.alias("time_unix_nano"),
-            # Always-true rand() guard = optimizer barrier (guide §4.4
-            # mechanism, expression-level): a downstream
-            # filter(parse_ok) would otherwise be pushed through the
-            # deterministic parse projections, substituting the ENTIRE
-            # detect+capture derivation (html decode + log extract
-            # ~10×, combined regex 2×) into a Filter evaluated per
-            # input row (measured on the 1M-row bench pipeline: parse
-            # stage 2.2 s pushed vs 0.9 s blocked; plan diff in
-            # plans/r06/pipeline_e2e_*). One non-deterministic field
-            # makes Catalyst keep filters above this projection, so
-            # parse columns are computed once. `rand(0) != -1` is
-            # vacuously true (rand ∈ [0,1)) and — unlike `>= -1` —
-            # survives Spark 4's rand range folding; values, schema
-            # and retry-stability are unchanged.
-            F.when(F.rand(0) != F.lit(-1.0), fmt != "unknown")
-            .otherwise(F.lit(False))
-            .alias("parse_ok"),
-            line.alias("body"),
-        )
+        s3.select("*", *x["final_cols"])
         .drop(
             "_ng_status",
             "_ng_time",

@@ -70,6 +70,47 @@ from .capture import capture_all  # noqa: E402
 from .capture import group as _group  # noqa: E402
 
 
+# Per-process cache of the projection expressions, keyed by line
+# column — same rationale as parsers.auto._stage_exprs: Columns are
+# immutable UNRESOLVED trees, and rebuilding them costs hundreds of
+# py4j round trips per query construction (driver-side wall time,
+# guide §7.3).
+_CC_EXPRS: dict[str, dict] = {}
+
+
+def _cc_exprs(line_col: str) -> dict:
+    cached = _CC_EXPRS.get(line_col)
+    if cached is not None:
+        return cached
+    line = F.col(line_col)
+    n = len(COMBINED_FIELDS)
+    ok = (F.size(F.col("_parts")) > n) & F.col("_parts").getItem(
+        0
+    ).startswith(_MARK)
+    cached = {
+        "parts": capture_all(line, COMBINED_PATTERN, n),
+        "parse_ok": ok,
+        "fields": [
+            _group(F.col("_parts"), F.col("parse_ok"), i)
+            for i in range(1, n + 1)
+        ],
+        "status": F.when(F.col("status") != "", F.col("status").cast("int")),
+        "body_bytes_sent": F.when(
+            F.col("body_bytes_sent").rlike(r"^\d+$"),
+            F.col("body_bytes_sent").cast("long"),
+        ),
+        "method": F.regexp_extract(F.col("request"), r"^(\S+)", 1),
+        "http_path": F.regexp_extract(F.col("request"), r"^\S+ (\S+)", 1),
+        "time_unix_nano": to_unix_nanos(
+            parse_timestamp_chain(F.col("time_local"), NGINX_TIME_FMT)
+        ),
+        "severity_number": status_to_severity_number(F.col("status")),
+        "severity_text": status_to_severity_text(F.col("status")),
+    }
+    _CC_EXPRS[line_col] = cached
+    return cached
+
+
 def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     """Project combined-access fields; adds source='nginx' (nginx.rs:107-121).
 
@@ -79,42 +120,20 @@ def parse_combined(df: DataFrame, line_col: str = "raw_line") -> DataFrame:
     the split array is a named column so CollapseProject won't inline
     the regex into every field projection.
     """
-    line = F.col(line_col)
-    n = len(COMBINED_FIELDS)
-    out = df.withColumn("_parts", capture_all(line, COMBINED_PATTERN, n))
-    ok = (F.size(F.col("_parts")) > n) & F.col("_parts").getItem(
-        0
-    ).startswith(_MARK)
-    out = out.withColumn("parse_ok", ok)
+    x = _cc_exprs(line_col)
+    out = df.withColumn("_parts", x["parts"])
+    out = out.withColumn("parse_ok", x["parse_ok"])
     for i, name in enumerate(COMBINED_FIELDS, start=1):
-        out = out.withColumn(
-            name, _group(F.col("_parts"), F.col("parse_ok"), i)
-        )
-    status = F.when(F.col("status") != "", F.col("status").cast("int"))
+        out = out.withColumn(name, x["fields"][i - 1])
     out = (
         out.drop("_parts")
-        .withColumn("status", status)
-        .withColumn(
-            "body_bytes_sent",
-            F.when(
-                F.col("body_bytes_sent").rlike(r"^\d+$"),
-                F.col("body_bytes_sent").cast("long"),
-            ),
-        )
-        .withColumn(
-            "method", F.regexp_extract(F.col("request"), r"^(\S+)", 1)
-        )
-        .withColumn(
-            "http_path", F.regexp_extract(F.col("request"), r"^\S+ (\S+)", 1)
-        )
-        .withColumn(
-            "time_unix_nano",
-            to_unix_nanos(
-                parse_timestamp_chain(F.col("time_local"), NGINX_TIME_FMT)
-            ),
-        )
-        .withColumn("severity_number", status_to_severity_number(F.col("status")))
-        .withColumn("severity_text", status_to_severity_text(F.col("status")))
+        .withColumn("status", x["status"])
+        .withColumn("body_bytes_sent", x["body_bytes_sent"])
+        .withColumn("method", x["method"])
+        .withColumn("http_path", x["http_path"])
+        .withColumn("time_unix_nano", x["time_unix_nano"])
+        .withColumn("severity_number", x["severity_number"])
+        .withColumn("severity_text", x["severity_text"])
         .withColumn("log_source", F.lit("nginx"))
     )
     return out
